@@ -1,0 +1,186 @@
+"""Per-Gaussian preprocess: culling, EWA splatting, SH->RGB.
+
+Reproduces the semantics of the reference CUDA ``preprocess`` kernel
+(diff-gaussian-rasterization forward.cu [upstream]; contract documented in
+SURVEY.md §2.2 N1): near-plane cull at view z <= 0.2, EWA projection
+J W Sigma W^T J^T with the +0.3 px low-pass on the 2D covariance diagonal,
+3-sigma pixel radius from the larger eigenvalue, 16x16 touched-tile
+rectangles, and SH evaluation clamped at 0 after the +0.5 DC offset.
+
+Everything is batched jnp over the Gaussian axis — no loops, differentiable
+end-to-end, so ``jax.vjp`` through this stage yields the scale / rotation /
+SH / mean gradients the CUDA backward computes by hand.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from gsjax.data.cameras import RenderCamera
+from gsjax.utils.math import build_covariance, strip_symmetric, unstrip_symmetric
+from gsjax.utils.sh import eval_sh
+
+TILE = 16
+NEAR_CULL_Z = 0.2  # reference CUDA in_frustum near threshold
+LOW_PASS = 0.3  # EWA low-pass added to cov2d diagonal
+MIN_LAMBDA = 0.1  # eigenvalue clamp inside radius computation
+
+
+class Splats(NamedTuple):
+    """Per-Gaussian screen-space quantities (all shape (N, ...))."""
+
+    means2d: jnp.ndarray  # (N, 2) pixel coords
+    depths: jnp.ndarray  # (N,) view-space z
+    conics: jnp.ndarray  # (N, 3) inverse 2D covariance [a, b, c]
+    colors: jnp.ndarray  # (N, 3) RGB
+    opacities: jnp.ndarray  # (N,)
+    radii: jnp.ndarray  # (N,) int32 pixel radius, 0 => culled
+    rect_min: jnp.ndarray  # (N, 2) int32 tile coords (x, y), inclusive
+    rect_max: jnp.ndarray  # (N, 2) int32 tile coords, exclusive
+    tiles_touched: jnp.ndarray  # (N,) int32
+
+
+def num_tiles(width: int, height: int):
+    return -(-width // TILE), -(-height // TILE)
+
+
+def project_points(means3d, camera: RenderCamera):
+    """World points -> (view z, pixel xy). Differentiable."""
+    ones = jnp.ones_like(means3d[:, :1])
+    hom = jnp.concatenate([means3d, ones], axis=1)  # (N, 4)
+    p_view = hom @ camera.world_view.T  # (N, 4)
+    p_hom = hom @ camera.full_proj.T  # (N, 4)
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    ndc = p_hom[:, :2] * p_w[:, None]
+    # ndc2Pix(v, S) = ((v + 1) * S - 1) / 2
+    px = ((ndc[:, 0] + 1.0) * camera.width - 1.0) * 0.5
+    py = ((ndc[:, 1] + 1.0) * camera.height - 1.0) * 0.5
+    return p_view[:, 2], jnp.stack([px, py], axis=1)
+
+
+def ewa_project(means3d, cov3d_flat, camera: RenderCamera):
+    """EWA: 3D covariance -> 2D screen covariance (upper-left 2x2 of
+    J W Sigma W^T J^T) with the +0.3 low-pass. Returns (N, 3) [xx, xy, yy]."""
+    W = camera.world_view[:3, :3]
+    ones = jnp.ones_like(means3d[:, :1])
+    t = (jnp.concatenate([means3d, ones], axis=1) @ camera.world_view.T)[:, :3]
+    tz = t[:, 2]
+    lim_x = 1.3 * camera.tan_fov_x
+    lim_y = 1.3 * camera.tan_fov_y
+    tx = jnp.clip(t[:, 0] / tz, -lim_x, lim_x) * tz
+    ty = jnp.clip(t[:, 1] / tz, -lim_y, lim_y) * tz
+    fx = camera.focal_x
+    fy = camera.focal_y
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(tz)
+    # J: (N, 2, 3) Jacobian of perspective projection at the clamped point
+    J = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], axis=1),
+            jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=1),
+        ],
+        axis=1,
+    )
+    M = J @ W  # (N, 2, 3)
+    Sigma = unstrip_symmetric(cov3d_flat)  # (N, 3, 3)
+    cov2d = M @ Sigma @ jnp.swapaxes(M, 1, 2)  # (N, 2, 2)
+    return jnp.stack(
+        [cov2d[:, 0, 0] + LOW_PASS, cov2d[:, 0, 1], cov2d[:, 1, 1] + LOW_PASS],
+        axis=1,
+    )
+
+
+def preprocess(
+    means3d,
+    scales,
+    quats,
+    opacities,
+    shs,
+    camera: RenderCamera,
+    sh_degree,
+    *,
+    scale_modifier=1.0,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    active_mask: Optional[jnp.ndarray] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
+) -> Splats:
+    """Full preprocess. All inputs post-activation (exp scales, normalized
+    quats, sigmoid opacities) — same contract as the CUDA rasterizer binding
+    (reference: gaussian_renderer/__init__.py:85-93).
+
+    ``means2d_offset`` is an optional zero (N, 2) array added to the pixel
+    means; taking the gradient w.r.t. it yields per-Gaussian screen-position
+    gradients for densification — the functional replacement for the
+    reference's ``screenspace_points.retain_grad()`` trick
+    (gaussian_renderer/__init__.py:26-30).
+    """
+    depths, means2d = project_points(means3d, camera)
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+
+    if cov3d_precomp is None:
+        cov3d_flat = strip_symmetric(build_covariance(scales, quats, scale_modifier))
+    else:
+        cov3d_flat = cov3d_precomp
+    cov2d = ewa_project(means3d, cov3d_flat, camera)
+
+    det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] ** 2
+    det_ok = det > 0.0
+    safe_det = jnp.where(det_ok, det, 1.0)
+    conics = (
+        jnp.stack([cov2d[:, 2], -cov2d[:, 1], cov2d[:, 0]], axis=1)
+        / safe_det[:, None]
+    )
+
+    mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
+    lambda1 = mid + jnp.sqrt(jnp.maximum(MIN_LAMBDA, mid * mid - det))
+    radii_f = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+
+    valid = (depths > NEAR_CULL_Z) & det_ok
+    if active_mask is not None:
+        valid = valid & active_mask
+
+    tiles_x, tiles_y = num_tiles(camera.width, camera.height)
+    rect_min = jnp.stack(
+        [
+            jnp.clip(jnp.floor((means2d[:, 0] - radii_f) / TILE), 0, tiles_x),
+            jnp.clip(jnp.floor((means2d[:, 1] - radii_f) / TILE), 0, tiles_y),
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+    rect_max = jnp.stack(
+        [
+            jnp.clip(jnp.floor((means2d[:, 0] + radii_f + TILE - 1) / TILE), 0, tiles_x),
+            jnp.clip(jnp.floor((means2d[:, 1] + radii_f + TILE - 1) / TILE), 0, tiles_y),
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+    tiles_touched = (rect_max[:, 0] - rect_min[:, 0]) * (
+        rect_max[:, 1] - rect_min[:, 1]
+    )
+    valid = valid & (tiles_touched > 0)
+    tiles_touched = jnp.where(valid, tiles_touched, 0)
+    radii = jnp.where(valid, radii_f, 0.0).astype(jnp.int32)
+
+    if colors_precomp is None:
+        dirs = means3d - camera.camera_center[None, :]
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=1, keepdims=True), 1e-12)
+        colors = jnp.maximum(eval_sh(shs, dirs, sh_degree) + 0.5, 0.0)
+    else:
+        colors = colors_precomp
+
+    return Splats(
+        means2d=means2d,
+        depths=depths,
+        conics=conics,
+        colors=colors,
+        opacities=opacities.reshape(-1),
+        radii=radii,
+        rect_min=rect_min,
+        rect_max=rect_max,
+        tiles_touched=tiles_touched,
+    )

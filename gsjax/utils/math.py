@@ -1,0 +1,87 @@
+"""Quaternion / covariance math for anisotropic 3D Gaussians.
+
+Semantics match the reference implementation's conventions
+(reference: utils/general_utils.py:64-110):
+
+* quaternions are stored ``(w, x, y, z)`` and normalized before use;
+* the Gaussian covariance is ``Sigma = (R S)(R S)^T`` with ``S = diag(scale)``;
+* symmetric 3x3 matrices are "stripped" to their 6 upper-triangular elements
+  in the order ``[xx, xy, xz, yy, yz, zz]``.
+
+All functions are pure jnp, shape-polymorphic over a leading batch dimension
+where noted, and safe to ``vmap`` / ``jit`` / differentiate.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def inverse_sigmoid(x):
+    """Logit: inverse of the sigmoid opacity activation."""
+    return jnp.log(x / (1.0 - x))
+
+
+def quat_to_rotmat(q):
+    """Unit-normalize quaternion(s) ``(..., 4)`` in (w,x,y,z) order -> (..., 3, 3).
+
+    Matches reference build_rotation (utils/general_utils.py:78-99).
+    """
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r0 = jnp.stack(
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], axis=-1
+    )
+    r1 = jnp.stack(
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], axis=-1
+    )
+    r2 = jnp.stack(
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], axis=-1
+    )
+    return jnp.stack([r0, r1, r2], axis=-2)
+
+
+def build_scaling_rotation(scale, quat):
+    """L = R @ diag(scale); scale ``(..., 3)``, quat ``(..., 4)`` -> ``(..., 3, 3)``.
+
+    Matches reference build_scaling_rotation (utils/general_utils.py:101-110).
+    """
+    R = quat_to_rotmat(quat)
+    return R * scale[..., None, :]
+
+
+def build_covariance(scale, quat, scale_modifier=1.0):
+    """Full 3D covariance Sigma = L L^T, ``(..., 3, 3)``.
+
+    Matches GaussianModel.build_covariance_from_scaling_rotation
+    (reference: scene/gaussian_model.py:27-31).
+    """
+    L = build_scaling_rotation(scale * scale_modifier, quat)
+    return L @ jnp.swapaxes(L, -1, -2)
+
+
+def strip_symmetric(sym):
+    """Symmetric ``(..., 3, 3)`` -> 6-vector [xx, xy, xz, yy, yz, zz].
+
+    Matches reference strip_lowerdiag (utils/general_utils.py:64-73).
+    """
+    return jnp.stack(
+        [
+            sym[..., 0, 0],
+            sym[..., 0, 1],
+            sym[..., 0, 2],
+            sym[..., 1, 1],
+            sym[..., 1, 2],
+            sym[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def unstrip_symmetric(v):
+    """Inverse of :func:`strip_symmetric`: 6-vector -> symmetric ``(..., 3, 3)``."""
+    xx, xy, xz, yy, yz, zz = (v[..., i] for i in range(6))
+    r0 = jnp.stack([xx, xy, xz], axis=-1)
+    r1 = jnp.stack([xy, yy, yz], axis=-1)
+    r2 = jnp.stack([xz, yz, zz], axis=-1)
+    return jnp.stack([r0, r1, r2], axis=-2)

@@ -1,0 +1,186 @@
+"""Renderer tests: tiled pipeline vs naive oracle, forward and gradients.
+
+This is BASELINE.json config 1 (synthetic scene, allclose fwd + bwd) and the
+gsjax analogue of the reference's dual-path correctness oracles (SURVEY §4).
+
+All tests share one scene size (N=256 Gaussians, 64x64) and a handful of
+jitted programs — CPU compiles of the full pipeline are expensive, steady
+state is not.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsjax.ops import RasterizeSettings, render, render_naive
+from gsjax.ops.projection import preprocess, num_tiles
+from gsjax.ops.binning import build_tile_bins
+
+from conftest import make_test_camera, make_test_gaussians
+
+N = 256
+W = H = 64
+SETTINGS = RasterizeSettings(max_pairs=1 << 16, max_splats_per_tile=512, chunk=32)
+BG = jnp.zeros(3)
+WHITE = jnp.ones(3)
+
+
+def scene(seed=0, cam_seed=None):
+    rng = np.random.default_rng(seed)
+    cam = make_test_camera(width=W, height=H, seed=cam_seed).to_render_camera()
+    gs = tuple(jnp.asarray(g) for g in make_test_gaussians(N, rng))
+    return cam, gs
+
+
+def full_args(gs, mask=None, offset=None):
+    means, scales, quats, ops, shs = gs
+    if mask is None:
+        mask = jnp.ones(N, bool)
+    if offset is None:
+        offset = jnp.zeros((N, 2))
+    return means, scales, quats, ops, shs, mask, offset
+
+
+@functools.cache
+def tiled_fn():
+    @jax.jit
+    def f(cam, means, scales, quats, ops, shs, mask, offset, bg, scale_modifier):
+        return render(
+            cam, means, scales, quats, ops, shs, 3, bg, SETTINGS,
+            scale_modifier=scale_modifier, active_mask=mask, means2d_offset=offset,
+        )
+
+    return f
+
+
+@functools.cache
+def naive_fn():
+    @jax.jit
+    def f(cam, means, scales, quats, ops, shs, mask, offset, bg, scale_modifier):
+        return render_naive(
+            cam, means, scales, quats, ops, shs, 3, bg,
+            scale_modifier=scale_modifier, active_mask=mask, means2d_offset=offset,
+        )
+
+    return f
+
+
+def _probe_loss(render_fn, **settings_kw):
+    def loss(cam, means, scales, quats, ops, shs, mask, offset, probe):
+        out = render_fn(
+            cam, means, scales, quats, ops, shs, 3, BG, scale_modifier=1.0,
+            active_mask=mask, means2d_offset=offset, **settings_kw,
+        )
+        return jnp.sum(out["render"] * probe)
+
+    return jax.jit(jax.grad(loss, argnums=(1, 2, 3, 4, 5, 7)))
+
+
+@functools.cache
+def tiled_grad():
+    return _probe_loss(render, settings=SETTINGS)
+
+
+@functools.cache
+def naive_grad():
+    return _probe_loss(render_naive)
+
+
+def test_tiled_matches_naive_forward():
+    for cam_seed, bg in [(None, BG), (3, WHITE)]:
+        cam, gs = scene(cam_seed=cam_seed)
+        args = full_args(gs)
+        out_t = tiled_fn()(cam, *args, bg, 1.0)
+        out_n = naive_fn()(cam, *args, bg, 1.0)
+        assert int(out_t["num_dropped"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(out_t["render"]), np.asarray(out_n["render"]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_t["final_T"]), np.asarray(out_n["final_T"]), atol=2e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_t["radii"]), np.asarray(out_n["radii"])
+        )
+
+
+def test_tiled_matches_naive_gradients():
+    cam, gs = scene()
+    args = full_args(gs)
+    probe = jax.random.normal(jax.random.PRNGKey(0), (H, W, 3))
+    g_t = tiled_grad()(cam, *args, probe)
+    g_n = naive_grad()(cam, *args, probe)
+    names = ["means3d", "scales", "quats", "opacities", "shs", "means2d"]
+    for name, a, b in zip(names, g_t, g_n):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        assert np.abs(a).max() > 0, name
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=2e-3, err_msg=name)
+
+
+def test_background_compositing():
+    cam, gs = scene()
+    means = gs[0].at[:, 2].set(-5.0)  # all behind camera
+    out = tiled_fn()(cam, means, *gs[1:], *full_args(gs)[5:], WHITE, 1.0)
+    np.testing.assert_allclose(np.asarray(out["render"]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["final_T"]), 1.0, atol=1e-6)
+    assert not np.asarray(out["visibility_filter"]).any()
+
+
+def test_active_mask_excludes_gaussians():
+    cam, gs = scene()
+    half = jnp.arange(N) < N // 2
+    out_masked = tiled_fn()(cam, *full_args(gs, mask=half), BG, 1.0)
+    # same result as moving the masked-out gaussians behind the camera
+    means_moved = gs[0].at[N // 2 :, 2].set(-5.0)
+    out_moved = tiled_fn()(cam, means_moved, *gs[1:], *full_args(gs)[5:], BG, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(out_masked["render"]), np.asarray(out_moved["render"]), atol=1e-5
+    )
+    assert not np.asarray(out_masked["visibility_filter"][N // 2 :]).any()
+
+
+def test_scale_modifier_shrinks_footprint():
+    cam, gs = scene()
+    args = full_args(gs)
+    r1 = np.asarray(tiled_fn()(cam, *args, BG, 1.0)["radii"])
+    r2 = np.asarray(tiled_fn()(cam, *args, BG, 0.2)["radii"])
+    assert (r2 <= r1).all() and r2.sum() < r1.sum()
+
+
+def test_pair_budget_overflow_reported():
+    cam, gs = scene()
+    out = render(
+        cam, *gs, 3, BG, RasterizeSettings(max_pairs=64, max_splats_per_tile=64)
+    )
+    assert int(out["num_dropped"]) > 0
+
+
+def test_tile_bins_structure():
+    cam, gs = scene()
+    tx, ty = num_tiles(cam.width, cam.height)
+
+    @jax.jit
+    def bins_fn(means, scales, quats, ops, shs):
+        splats = preprocess(means, scales, quats, ops, shs, cam, 3)
+        return splats, build_tile_bins(splats, tx, ty, 1 << 16)
+
+    splats, bins = bins_fn(*gs)
+    start = np.asarray(bins.tile_start)
+    assert (np.diff(start) >= 0).all()
+    assert start[-1] == int(bins.num_pairs)
+    depth = np.asarray(splats.depths)[np.asarray(bins.pair_gauss)]
+    for t in range(tx * ty):
+        seg = depth[start[t] : start[t + 1]]
+        assert (np.diff(seg) >= -1e-6).all(), f"tile {t} not depth sorted"
+    assert int(bins.num_pairs) == int(np.asarray(splats.tiles_touched).sum())
+
+
+def test_render_deterministic():
+    cam, gs = scene()
+    args = full_args(gs)
+    img1 = tiled_fn()(cam, *args, BG, 1.0)["render"]
+    img2 = tiled_fn()(cam, *[a + 0 for a in args[:5]], *args[5:], BG, 1.0)["render"]
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
