@@ -66,7 +66,10 @@ def ewa_project(means3d, cov3d_flat, camera: RenderCamera):
     W = camera.world_view[:3, :3]
     ones = jnp.ones_like(means3d[:, :1])
     t = (jnp.concatenate([means3d, ones], axis=1) @ camera.world_view.T)[:, :3]
+    # keep 1/z finite for culled/inactive points so their (discarded) VJP
+    # paths cannot produce inf * 0 = NaN cotangents
     tz = t[:, 2]
+    tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
     lim_x = 1.3 * camera.tan_fov_x
     lim_y = 1.3 * camera.tan_fov_y
     tx = jnp.clip(t[:, 0] / tz, -lim_x, lim_x) * tz

@@ -1,0 +1,287 @@
+"""The training driver: orchestration around the jitted train step.
+
+Mirrors the reference's ``training()`` control flow (reference:
+train.py:31-132): shuffled-stack camera sampling, SH-degree ramp every 1000
+iterations, densify/prune every ``densification_interval`` in
+[densify_from_iter, densify_until_iter), opacity resets, eval/save hooks,
+checkpointing — plus the pieces the reference cannot have: fixed-capacity
+buffers with automatic 2x re-bucketing when densification fills them, and an
+optional viewer-bridge callback polled once per iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+import time
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsjax.configs import ModelParams, OptimizationParams, PipelineParams, save_cfg_args
+from gsjax.data.cameras import stack_render_cameras
+from gsjax.eval.metrics import psnr
+from gsjax.models.gaussians import (
+    GaussianState,
+    create_empty,
+    grow_capacity,
+)
+from gsjax.ops.rasterize import RasterizeSettings
+from gsjax.train.checkpoint import load_checkpoint, save_checkpoint
+from gsjax.train.loss import l1_loss
+from gsjax.train.optim import make_optimizer
+from gsjax.train.scene import Scene
+from gsjax.train.step import (
+    TrainConfig,
+    make_densify_step,
+    make_render_fn,
+    make_train_step,
+    stack_images,
+)
+
+GROW_WATERMARK = 0.9  # grow capacity when active fraction exceeds this
+
+
+def _pad_leaf(a, new_c):
+    a = np.asarray(a)
+    if a.ndim == 0 or a.shape[0] == 0:
+        return a
+    pad = [(0, new_c - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
+
+def grow_opt_state(opt_state, old_capacity: int, new_capacity: int):
+    """Zero-pad every per-Gaussian leaf (Adam mu/nu) to the new capacity."""
+
+    def pad(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == old_capacity:
+            return _pad_leaf(x, new_capacity)
+        return x
+
+    return jax.tree.map(pad, opt_state)
+
+
+def default_rasterize_settings(
+    width: int, height: int, capacity: int
+) -> RasterizeSettings:
+    """Heuristic static budgets scaled to the scene/render size."""
+    tiles = -(-width // 16) * -(-height // 16)
+    # generous average duplication per gaussian + per-tile depth complexity
+    max_pairs = min(1 << 26, max(1 << 18, 2 ** int(np.ceil(np.log2(capacity * 16)))))
+    mspt = 2048 if tiles > 1024 else 1024
+    return RasterizeSettings(max_pairs=max_pairs, max_splats_per_tile=mspt, chunk=32)
+
+
+@dataclasses.dataclass
+class TrainerLogs:
+    jsonl_path: Optional[str] = None
+
+    def write(self, record: dict):
+        if self.jsonl_path:
+            with open(self.jsonl_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+
+def training(
+    model: ModelParams,
+    opt: OptimizationParams,
+    pipe: PipelineParams,
+    testing_iterations: Sequence[int] = (7_000, 30_000),
+    saving_iterations: Sequence[int] = (7_000, 30_000),
+    checkpoint_iterations: Sequence[int] = (),
+    start_checkpoint: Optional[str] = None,
+    quiet: bool = False,
+    settings: Optional[RasterizeSettings] = None,
+    capacity: Optional[int] = None,
+    gui_callback: Optional[Callable] = None,
+    seed: int = 0,
+):
+    """Train a scene end-to-end. Returns (scene, final GaussianState)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+    if not model.model_path:
+        unique = os.getenv("OAR_JOB_ID", str(int(time.time())))[-10:]
+        model.model_path = os.path.join("./output", unique)
+    os.makedirs(model.model_path, exist_ok=True)
+    save_cfg_args(model.model_path, model)
+    logs = TrainerLogs(os.path.join(model.model_path, "train_log.jsonl"))
+
+    scene = Scene(model, capacity=capacity)
+    state = scene.gaussians
+    extent = float(scene.cameras_extent)
+
+    train_cams = scene.get_train_cameras()
+    sizes = {(c.width, c.height) for c in train_cams}
+    if len(sizes) != 1:
+        raise ValueError(
+            f"mixed training resolutions {sizes}: gsjax compiles one step per "
+            "resolution; resize the dataset or pass --resolution"
+        )
+    width, height = next(iter(sizes))
+
+    if settings is None:
+        settings = default_rasterize_settings(width, height, state.capacity)
+    cfg = TrainConfig(
+        settings=settings,
+        lambda_dssim=opt.lambda_dssim,
+        white_background=model.white_background,
+        random_background=opt.random_background,
+        extent=extent,
+    )
+
+    cam_batch = stack_render_cameras(train_cams)
+    images = stack_images(train_cams)
+
+    tx = make_optimizer(opt, state.spatial_lr_scale)
+    opt_state = tx.init(state.params)
+    first_iter = 0
+    if start_checkpoint:
+        def make_template(cap, max_sh, lr_scale):
+            s = create_empty(cap, max_sh, lr_scale)
+            return s, tx.init(s.params)
+
+        state, opt_state, first_iter = load_checkpoint(
+            start_checkpoint, make_template
+        )
+        print(f"Restored checkpoint at iteration {first_iter}")
+
+    step = make_train_step(tx, cam_batch, images, cfg)
+    densify_step, reset_step = make_densify_step(opt, cfg)
+    render_fn = make_render_fn(cfg)
+    bg = jnp.full(3, 1.0 if model.white_background else 0.0, jnp.float32)
+
+    key = jax.random.PRNGKey(seed)
+    viewpoint_stack: List[int] = []
+    ema_loss = 0.0
+    t_start = time.time()
+    it_times = []
+
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        if gui_callback is not None:
+            gui_callback(iteration, state, render_fn)
+
+        # SH-degree ramp (reference train.py:72-73)
+        if iteration % 1000 == 0:
+            state = dataclasses.replace(
+                state,
+                active_sh_degree=jnp.minimum(
+                    state.active_sh_degree + 1, state.max_sh_degree
+                ),
+            )
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(range(len(train_cams)))
+        cam_idx = viewpoint_stack.pop(random.randint(0, len(viewpoint_stack) - 1))
+
+        key, k = jax.random.split(key)
+        t0 = time.time()
+        state, opt_state, metrics = step(state, opt_state, jnp.int32(cam_idx), k)
+        loss = float(metrics["loss"])
+        it_times.append(time.time() - t0)
+        ema_loss = 0.4 * loss + 0.6 * ema_loss
+
+        if not quiet and iteration % 100 == 0:
+            n_act = int(metrics["num_active"])
+            rate = 100 / sum(it_times[-100:])
+            print(
+                f"[ITER {iteration}] loss {ema_loss:.5f} | gaussians {n_act} | "
+                f"{rate:.2f} it/s",
+                flush=True,
+            )
+            logs.write(
+                {
+                    "iter": iteration,
+                    "loss": loss,
+                    "ema_loss": ema_loss,
+                    "num_active": n_act,
+                    "dropped_pairs": int(metrics["num_dropped_pairs"]),
+                    "it_per_s": rate,
+                }
+            )
+
+        if iteration in testing_iterations:
+            report = evaluate_state(
+                state, scene, render_fn, bg, num_train_views=5
+            )
+            print(f"[ITER {iteration}] eval: {report}", flush=True)
+            logs.write({"iter": iteration, "eval": report})
+
+        if iteration in saving_iterations:
+            print(f"[ITER {iteration}] Saving Gaussians", flush=True)
+            scene.save(iteration, state)
+
+        # Densification (reference train.py:112-123)
+        if iteration < opt.densify_until_iter:
+            if (
+                iteration > opt.densify_from_iter
+                and iteration % opt.densification_interval == 0
+            ):
+                key, k = jax.random.split(key)
+                use_screen = iteration > opt.opacity_reset_interval
+                state, opt_state, dstats = densify_step(
+                    state, opt_state, k, use_screen_size=use_screen
+                )
+                n_act = int(state.num_active)
+                if int(dstats.num_dropped) > 0 or n_act > GROW_WATERMARK * state.capacity:
+                    old_c, new_c = state.capacity, state.capacity * 2
+                    print(
+                        f"[ITER {iteration}] growing capacity {old_c} -> {new_c}",
+                        flush=True,
+                    )
+                    state = grow_capacity(state, new_c)
+                    opt_state = grow_opt_state(opt_state, old_c, new_c)
+                    step = None  # drop stale closure before recompile
+                    step = make_train_step(tx, cam_batch, images, cfg)
+                    densify_step, reset_step = make_densify_step(opt, cfg)
+
+            if iteration % opt.opacity_reset_interval == 0 or (
+                model.white_background and iteration == opt.densify_from_iter
+            ):
+                state, opt_state = reset_step(state, opt_state)
+
+        if iteration in checkpoint_iterations:
+            print(f"[ITER {iteration}] Saving Checkpoint", flush=True)
+            save_checkpoint(
+                os.path.join(model.model_path, f"chkpnt{iteration}.npz"),
+                state,
+                opt_state,
+                iteration,
+            )
+
+    wall = time.time() - t_start
+    if not quiet:
+        print(f"Training complete in {wall:.1f}s", flush=True)
+    scene.gaussians = state
+    return scene, state
+
+
+def evaluate_state(state, scene, render_fn, bg, num_train_views=5):
+    """Test-split + first-k-train-view L1/PSNR
+    (reference training_report, train.py:156-191)."""
+    report = {}
+    configs = [
+        ("test", scene.get_test_cameras()),
+        ("train", scene.get_train_cameras()[:num_train_views]),
+    ]
+    for name, cams in configs:
+        if not cams:
+            continue
+        l1s, psnrs = [], []
+        for cam in cams:
+            img = render_fn(state, cam.to_render_camera(), bg)
+            img = jnp.clip(img, 0.0, 1.0)
+            gt = jnp.clip(jnp.asarray(cam.image), 0.0, 1.0)
+            l1s.append(float(l1_loss(img, gt)))
+            psnrs.append(float(psnr(img, gt)))
+        report[name] = {
+            "l1": float(np.mean(l1s)),
+            "psnr": float(np.mean(psnrs)),
+            "n_views": len(cams),
+        }
+    return report

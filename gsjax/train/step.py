@@ -1,0 +1,212 @@
+"""The jitted train step and render helpers.
+
+One compiled XLA program per resolution covers the whole run: camera
+selection (``lax`` indexing into a stacked camera batch), rendering, loss,
+backward, Adam update, and densification bookkeeping all happen on device.
+The reference runs this loop in Python with a CUDA kernel in the middle
+(reference: train.py:51-128).
+
+Gradient-stat plumbing: instead of the reference's zero-tensor
+``retain_grad`` hack, the loss takes an explicit zero ``means2d_offset``
+argument; its gradient is the per-Gaussian screen-space gradient consumed by
+densification (SURVEY.md §7.0 item 3).
+
+Known, deliberate semantic delta vs the reference: on densification
+iterations the reference silently discards that iteration's gradients
+(its tensor surgery rebuilds parameters before ``optimizer.step()``,
+train.py:118-128); gsjax applies every gradient step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gsjax.configs import OptimizationParams
+from gsjax.data.cameras import RenderCamera, index_render_camera
+from gsjax.models.densify import (
+    DensifyConfig,
+    add_densification_stats,
+    densify_and_prune,
+    reset_opacity,
+)
+from gsjax.models.gaussians import GaussianState, activated
+from gsjax.ops.rasterize import RasterizeSettings, render
+from gsjax.train.loss import l1_loss, ssim
+from gsjax.train.optim import adam_moments, with_adam_moments
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    settings: RasterizeSettings = RasterizeSettings()
+    lambda_dssim: float = 0.2
+    white_background: bool = False
+    random_background: bool = False
+    extent: float = 1.0  # scene radius (cameras_extent)
+
+
+def _activated_from(params):
+    scales = jnp.exp(params["scaling"])
+    quats = params["rotation"] / jnp.maximum(
+        jnp.linalg.norm(params["rotation"], axis=-1, keepdims=True), 1e-12
+    )
+    opac = jax.nn.sigmoid(params["opacity"][:, 0])
+    shs = jnp.concatenate([params["features_dc"], params["features_rest"]], axis=1)
+    return params["xyz"], scales, quats, opac, shs
+
+
+def render_state(
+    state: GaussianState,
+    camera: RenderCamera,
+    bg,
+    settings: RasterizeSettings,
+    *,
+    scale_modifier=1.0,
+    sh_degree=None,
+    means2d_offset=None,
+):
+    """Render the active Gaussians of ``state`` through ``camera``."""
+    means3d, scales, quats, opac, shs = activated(state)
+    return render(
+        camera,
+        means3d,
+        scales,
+        quats,
+        opac,
+        shs,
+        state.active_sh_degree if sh_degree is None else sh_degree,
+        bg,
+        settings,
+        scale_modifier=scale_modifier,
+        active_mask=state.active,
+        means2d_offset=means2d_offset,
+    )
+
+
+def make_render_fn(cfg: TrainConfig):
+    """A jitted (state, camera, bg) -> image function for eval/viewer use."""
+
+    @jax.jit
+    def render_fn(state: GaussianState, camera: RenderCamera, bg):
+        return render_state(state, camera, bg, cfg.settings)["render"]
+
+    return render_fn
+
+
+def make_train_step(
+    tx: optax.GradientTransformation,
+    cameras: RenderCamera,  # stacked batch (leading axis = view)
+    images,  # (M, H, W, 3) float32 in [0,1] or uint8
+    cfg: TrainConfig,
+):
+    """Build the jitted train step.
+
+    step(state, opt_state, cam_idx, key) ->
+        (state, opt_state, metrics dict)
+    """
+    bg_color = jnp.full(3, 1.0 if cfg.white_background else 0.0, jnp.float32)
+    images = jnp.asarray(images)
+
+    @jax.jit
+    def step(state: GaussianState, opt_state, cam_idx, key):
+        camera = index_render_camera(cameras, cam_idx)
+        gt = images[cam_idx]
+        if gt.dtype == jnp.uint8:
+            gt = gt.astype(jnp.float32) / 255.0
+        bg = (
+            jax.random.uniform(key, (3,))
+            if cfg.random_background
+            else bg_color
+        )
+        offset = jnp.zeros((state.capacity, 2))
+
+        def loss_fn(params, offset):
+            means3d, scales, quats, opac, shs = _activated_from(params)
+            out = render(
+                camera,
+                means3d,
+                scales,
+                quats,
+                opac,
+                shs,
+                state.active_sh_degree,
+                bg,
+                cfg.settings,
+                active_mask=state.active,
+                means2d_offset=offset,
+            )
+            img = out["render"]
+            ll1 = l1_loss(img, gt)
+            loss = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (
+                1.0 - ssim(img, gt)
+            )
+            return loss, (out, ll1)
+
+        (loss, (out, ll1)), (g_params, g_offset) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, offset)
+
+        updates, new_opt_state = tx.update(g_params, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = dataclasses.replace(state, params=new_params)
+        new_state = add_densification_stats(
+            new_state, g_offset, out["radii"], camera.width, camera.height
+        )
+        metrics = {
+            "loss": loss,
+            "l1": ll1,
+            "num_dropped_pairs": out["num_dropped"],
+            "num_active": new_state.num_active,
+        }
+        return new_state, new_opt_state, metrics
+
+    return step
+
+
+def make_densify_step(opt: OptimizationParams, cfg: TrainConfig):
+    dcfg = DensifyConfig(
+        grad_threshold=opt.densify_grad_threshold,
+        percent_dense=opt.percent_dense,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("use_screen_size",))
+    def densify_step(state, opt_state, key, use_screen_size: bool):
+        mu, nu = adam_moments(opt_state)
+        state, mu, nu, stats = densify_and_prune(
+            state,
+            mu,
+            nu,
+            key,
+            cfg.extent,
+            dcfg,
+            use_screen_size=use_screen_size,
+        )
+        return state, with_adam_moments(opt_state, mu, nu), stats
+
+    @jax.jit
+    def opacity_reset_step(state, opt_state):
+        mu, nu = adam_moments(opt_state)
+        state, mu, nu = reset_opacity(state, mu, nu, dcfg)
+        return state, with_adam_moments(opt_state, mu, nu)
+
+    return densify_step, opacity_reset_step
+
+
+def stack_images(cameras_list, dtype=np.uint8):
+    """Stack per-camera GT images (applying alpha masks,
+    reference scene/cameras.py:39-46) into one (M, H, W, 3) array."""
+    imgs = []
+    for cam in cameras_list:
+        img = cam.image
+        if cam.alpha_mask is not None:
+            img = img * cam.alpha_mask[..., None]
+        if dtype == np.uint8:
+            img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+        imgs.append(img)
+    return np.stack(imgs)

@@ -1,0 +1,101 @@
+"""End-to-end integration: fit a synthetic Blender scene
+(SURVEY.md §7.2 minimum slice, scaled down for CPU CI)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gsjax.configs import ModelParams, OptimizationParams, PipelineParams
+
+
+@pytest.fixture(scope="module")
+def blender_scene(tmp_path_factory):
+    from fixtures import make_blender_scene
+
+    path = str(tmp_path_factory.mktemp("scene"))
+    gt = make_blender_scene(path, n_train=12, n_test=3, width=64, height=64)
+    return path, gt
+
+
+def test_training_fits_synthetic_scene(blender_scene, tmp_path):
+    from gsjax.ops.rasterize import RasterizeSettings
+    from gsjax.train.loop import training
+
+    src, _ = blender_scene
+    model = ModelParams(
+        source_path=src, model_path=str(tmp_path / "out"), eval=True
+    )
+    opt = OptimizationParams(
+        iterations=300,
+        densification_interval=100,
+        densify_from_iter=99,
+        densify_until_iter=250,
+        opacity_reset_interval=10_000,  # never, in this short run
+        position_lr_max_steps=300,
+    )
+    scene, state = training(
+        model,
+        opt,
+        PipelineParams(),
+        testing_iterations=(300,),
+        saving_iterations=(300,),
+        checkpoint_iterations=(150,),
+        quiet=True,
+        settings=RasterizeSettings(max_pairs=1 << 16, max_splats_per_tile=512),
+        capacity=256,
+        seed=0,
+    )
+
+    # quality: the fit must substantially beat the init
+    import jax.numpy as jnp
+    from gsjax.train.loop import evaluate_state
+    from gsjax.train.step import TrainConfig, make_render_fn
+
+    cfg = TrainConfig(
+        settings=RasterizeSettings(max_pairs=1 << 16, max_splats_per_tile=512)
+    )
+    report = evaluate_state(
+        state, scene, make_render_fn(cfg), jnp.zeros(3), num_train_views=5
+    )
+    assert report["train"]["psnr"] > 22.0, report
+    assert report["test"]["psnr"] > 20.0, report
+
+    # artifacts (reference scene/__init__.py:51-63, train.py:108-132)
+    out = model.model_path
+    assert os.path.exists(os.path.join(out, "cfg_args"))
+    assert os.path.exists(os.path.join(out, "cameras.json"))
+    assert os.path.exists(os.path.join(out, "input.ply"))
+    assert os.path.exists(
+        os.path.join(out, "point_cloud", "iteration_300", "point_cloud.ply")
+    )
+    assert os.path.exists(os.path.join(out, "chkpnt150.npz"))
+
+
+def test_checkpoint_resume_continues(blender_scene, tmp_path):
+    """Resume from a checkpoint and keep improving (reference train.py:37-39)."""
+    from gsjax.ops.rasterize import RasterizeSettings
+    from gsjax.train.loop import training
+
+    src, _ = blender_scene
+    settings = RasterizeSettings(max_pairs=1 << 16, max_splats_per_tile=512)
+
+    model = ModelParams(source_path=src, model_path=str(tmp_path / "a"))
+    opt = OptimizationParams(
+        iterations=60, densify_from_iter=10_000, opacity_reset_interval=10_000
+    )
+    training(
+        model, opt, PipelineParams(), testing_iterations=(), saving_iterations=(),
+        checkpoint_iterations=(60,), quiet=True, settings=settings, capacity=256,
+    )
+
+    model2 = ModelParams(source_path=src, model_path=str(tmp_path / "b"))
+    opt2 = OptimizationParams(
+        iterations=120, densify_from_iter=10_000, opacity_reset_interval=10_000
+    )
+    scene2, state2 = training(
+        model2, opt2, PipelineParams(), testing_iterations=(), saving_iterations=(),
+        start_checkpoint=str(tmp_path / "a" / "chkpnt60.npz"),
+        quiet=True, settings=settings, capacity=256,
+    )
+    assert int(state2.num_active) > 0

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Training entry point — CLI-compatible with the reference ``train.py``
+(reference: train.py:193-222).
+
+Example:
+    python train.py -s /data/nerf_synthetic/lego --eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from gsjax.configs import (
+    ModelParams,
+    OptimizationParams,
+    PipelineParams,
+    add_group,
+    extract,
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="gsjax training")
+    add_group(parser, ModelParams, "Model Parameters")
+    add_group(parser, OptimizationParams, "Optimization Parameters")
+    add_group(parser, PipelineParams, "Pipeline Parameters")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true", default=False)
+    parser.add_argument(
+        "--test_iterations", nargs="+", type=int, default=[7_000, 30_000]
+    )
+    parser.add_argument(
+        "--save_iterations", nargs="+", type=int, default=[7_000, 30_000]
+    )
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--capacity", type=int, default=None,
+                        help="initial gaussian buffer capacity (grows 2x as needed)")
+    parser.add_argument("--disable_viewer", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+    args.save_iterations.append(args.iterations)
+
+    import jax
+
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
+    model = extract(ModelParams, args)
+    opt = extract(OptimizationParams, args)
+    pipe = extract(PipelineParams, args)
+
+    print(f"Optimizing {model.model_path or '(auto model dir)'}")
+
+    gui_callback = None
+    if not args.disable_viewer:
+        try:
+            from gsjax.viewer.network_gui import ViewerBridge
+
+            bridge = ViewerBridge(args.ip, args.port, model.source_path,
+                                  max_iterations=args.iterations)
+            gui_callback = bridge.poll
+        except OSError as e:
+            print(f"viewer bridge disabled: {e}")
+
+    from gsjax.train.loop import training
+
+    training(
+        model,
+        opt,
+        pipe,
+        testing_iterations=args.test_iterations,
+        saving_iterations=args.save_iterations,
+        checkpoint_iterations=args.checkpoint_iterations,
+        start_checkpoint=args.start_checkpoint,
+        quiet=args.quiet,
+        capacity=args.capacity,
+        gui_callback=gui_callback,
+        seed=args.seed,
+    )
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
