@@ -61,9 +61,10 @@ class GaussianState:
         return jnp.sum(self.active.astype(jnp.int32))
 
 
-def activated(state: GaussianState):
-    """Post-activation attributes: (means3d, scales, quats, opacities, shs)."""
-    p = state.params
+def activated_params(p: Params):
+    """Post-activation attributes from a raw parameter dict:
+    (means3d, scales, quats, opacities, shs). Activations per
+    reference scene/gaussian_model.py:33-41."""
     scales = jnp.exp(p["scaling"])
     quats = p["rotation"] / jnp.maximum(
         jnp.linalg.norm(p["rotation"], axis=-1, keepdims=True), 1e-12
@@ -71,6 +72,11 @@ def activated(state: GaussianState):
     opacities = jax.nn.sigmoid(p["opacity"][:, 0])
     shs = jnp.concatenate([p["features_dc"], p["features_rest"]], axis=1)
     return p["xyz"], scales, quats, opacities, shs
+
+
+def activated(state: GaussianState):
+    """Post-activation attributes: (means3d, scales, quats, opacities, shs)."""
+    return activated_params(state.params)
 
 
 def _pad(a, capacity):

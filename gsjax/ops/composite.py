@@ -54,14 +54,21 @@ def composite_tiles(
     tiles_y: int,
     max_splats_per_tile: int,
     chunk: int = 32,
+    pixel_origin=(0.0, 0.0),
 ):
     """Blend sorted splats into per-tile pixel buffers.
+
+    ``pixel_origin`` (x, y) offsets the pixel grid — used by the sharded
+    renderer whose tile grid covers only a strip of the global image while
+    ``means2d`` stay in global pixel coordinates. May be traced.
 
     Returns ``(tile_colors (T, 256, 3), tile_transmittance (T, 256))``.
     Differentiable w.r.t. means2d / conics / colors / opacities.
     """
     num_tiles = tiles_x * tiles_y
-    pix = _tile_pixel_coords(tiles_x, tiles_y)  # (T, 256, 2)
+    pix = _tile_pixel_coords(tiles_x, tiles_y) + jnp.asarray(
+        pixel_origin, jnp.float32
+    )  # (T, 256, 2)
     start = tile_start[:num_tiles]  # (T,)
     count = tile_start[1 : num_tiles + 1] - start  # (T,)
     n_rounds = max(max_splats_per_tile // chunk, 1)

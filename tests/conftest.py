@@ -14,6 +14,9 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# a sitecustomize may have pre-imported jax with JAX_PLATFORMS pinned to the
+# TPU plugin; the config update wins over the frozen env var
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: CPU compiles of the full pipeline take ~40s;
 # cache them across test runs

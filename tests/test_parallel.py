@@ -1,0 +1,119 @@
+"""Distributed tests on a virtual 8-device CPU mesh (SURVEY.md §4):
+sharded renders/steps must match single-device allclose."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsjax.configs import OptimizationParams
+from gsjax.data.cameras import stack_render_cameras
+from gsjax.models import create_from_pcd
+from gsjax.ops.rasterize import RasterizeSettings
+from gsjax.parallel import (
+    make_mesh,
+    make_sharded_render,
+    make_sharded_train_step,
+    shard_gaussian_state,
+)
+from gsjax.train.optim import make_optimizer
+from gsjax.train.step import TrainConfig, make_train_step, render_state
+
+from conftest import make_test_camera
+
+SETTINGS = RasterizeSettings(max_pairs=1 << 16, max_splats_per_tile=512)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(0)
+    n = 300
+    pts = np.stack(
+        [rng.uniform(-1.5, 1.5, n), rng.uniform(-1.5, 1.5, n), rng.uniform(4, 8, n)],
+        axis=1,
+    )
+    cols = rng.uniform(0, 1, (n, 3))
+    state = create_from_pcd(pts, cols, spatial_lr_scale=2.0, capacity=512)
+    cams = [make_test_camera(64, 64, seed=i) for i in range(4)]
+    rng2 = np.random.default_rng(1)
+    images = rng2.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    return state, cams, images
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (1, 4), (2, 4)])
+def test_sharded_render_matches_single(scene, mesh_shape):
+    state, cams, _ = scene
+    cam = cams[1].to_render_camera()
+    bg = jnp.zeros(3)
+    img1 = np.asarray(render_state(state, cam, bg, SETTINGS)["render"])
+    d, g = mesh_shape
+    mesh = make_mesh(data=d, gauss=g, devices=jax.devices()[: d * g])
+    sstate = shard_gaussian_state(state, mesh)
+    img2, _ = make_sharded_render(mesh, SETTINGS, 64, 64)(sstate, cam, bg)
+    np.testing.assert_allclose(np.asarray(img2), img1, atol=3e-5)
+
+
+def test_sharded_train_step_matches_single(scene):
+    state, cams, images = scene
+    opt = OptimizationParams()
+    cfg = TrainConfig(settings=SETTINGS, extent=2.0)
+    tx = make_optimizer(opt, state.spatial_lr_scale)
+
+    # single device, camera 2
+    step1 = make_train_step(tx, stack_render_cameras(cams), images, cfg)
+    s1, o1, m1 = step1(state, tx.init(state.params), jnp.int32(2), jax.random.PRNGKey(9))
+
+    # 4-way gauss sharded, data=1, same camera
+    mesh = make_mesh(data=1, gauss=4, devices=jax.devices()[:4])
+    sstate = shard_gaussian_state(state, mesh)
+    step2 = make_sharded_train_step(tx, mesh, stack_render_cameras(cams), images, cfg)
+    s2, o2, m2 = step2(
+        sstate, tx.init(sstate.params), jnp.array([2]), jax.random.PRNGKey(9)
+    )
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m2["l1"]), float(m1["l1"]), rtol=1e-5)
+    for k in s1.params:
+        np.testing.assert_allclose(
+            np.asarray(s2.params[k]),
+            np.asarray(s1.params[k]),
+            atol=2e-5,
+            rtol=1e-3,
+            err_msg=k,
+        )
+    # densification stats agree
+    np.testing.assert_allclose(
+        np.asarray(s2.xyz_grad_accum),
+        np.asarray(s1.xyz_grad_accum),
+        atol=1e-4,
+        rtol=1e-3,
+    )
+    np.testing.assert_array_equal(np.asarray(s2.denom), np.asarray(s1.denom))
+    np.testing.assert_array_equal(
+        np.asarray(s2.max_radii2d), np.asarray(s1.max_radii2d)
+    )
+
+
+def test_data_parallel_batch_averages_gradients(scene):
+    state, cams, images = scene
+    opt = OptimizationParams()
+    cfg = TrainConfig(settings=SETTINGS, extent=2.0)
+    tx = make_optimizer(opt, state.spatial_lr_scale)
+    mesh = make_mesh(data=2, gauss=4)
+    sstate = shard_gaussian_state(state, mesh)
+    step = make_sharded_train_step(tx, mesh, stack_render_cameras(cams), images, cfg)
+    s2, o2, m2 = step(
+        sstate, tx.init(sstate.params), jnp.array([0, 3]), jax.random.PRNGKey(0)
+    )
+    # loss is the mean of the two per-camera losses
+    step1 = make_train_step(tx, stack_render_cameras(cams), images, cfg)
+    losses = []
+    for ci in (0, 3):
+        _, _, m1 = step1(state, tx.init(state.params), jnp.int32(ci), jax.random.PRNGKey(0))
+        losses.append(float(m1["loss"]))
+    np.testing.assert_allclose(float(m2["loss"]), np.mean(losses), rtol=1e-5)
+    # a camera-batched step keeps improving when repeated
+    s3, o3, m3 = step(s2, o2, jnp.array([1, 2]), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m3["loss"]))
