@@ -3,14 +3,15 @@
 The CUDA render kernel walks each tile's sorted splat list sequentially per
 pixel: ``C += T * alpha * c; T *= (1 - alpha)`` with an early exit at
 T < 1e-4 (SURVEY.md §2.2 N1). A scalar loop like that starves a TPU. Here
-the recurrence is re-associated through log space::
+the recurrence is re-associated through a cumulative product::
 
-    T_i = exp( sum_{j<i} log(1 - alpha_j) )
+    T_i = prod_{j<i} (1 - alpha_j)
 
 so one chunk of K splats against all 256 pixels of a tile becomes dense
 (pixels x K) vector math plus a (pixels x K) @ (K x 3) matmul for the color
-accumulation — VPU + MXU work with no sequential dependence inside the chunk.
-Chunks are scanned front-to-back carrying (log T, done) per pixel.
+accumulation — VPU + MXU work with no sequential dependence inside the chunk
+and a single transcendental (the alpha exp) per pair-pixel. Chunks are
+scanned front-to-back carrying (T, done) per pixel.
 
 Early-termination parity: the reference *freezes* T when the test
 ``T * (1 - alpha) < 1e-4`` trips and skips that splat and all later ones. We
@@ -77,7 +78,7 @@ def composite_tiles(
 
     @jax.checkpoint
     def step(carry, k):
-        logT, done = carry  # (T, 256), (T, 256) bool
+        T_carry, done = carry  # (T, 256), (T, 256) bool
         idx = start[:, None] + k * chunk + k_local[None, :]  # (T, K)
         in_range = (k * chunk + k_local[None, :]) < count[:, None]
         idx = jnp.clip(idx, 0, bins_pair_gauss.shape[0] - 1)
@@ -98,34 +99,33 @@ def composite_tiles(
         ok = in_range[:, None, :] & (power <= 0.0) & (alpha >= ALPHA_MIN)
         alpha = jnp.where(ok, alpha, 0.0)
 
-        # Unfrozen prefix to locate the early-termination trip point.
-        l1m = jnp.log1p(-alpha)  # log(1 - alpha), 0 where skipped
-        cum = jnp.cumsum(l1m, axis=-1)  # inclusive
-        T_after = jnp.exp(logT[..., None] + cum)
-        trip = ok & (T_after < T_EPS)
+        # Unfrozen cumulative product to locate the early-termination trip
+        # point (identical to the sequential prefix up to the trip).
+        cp = jnp.cumprod(1.0 - alpha, axis=-1)  # inclusive
+        trip = ok & (T_carry[..., None] * cp < T_EPS)
         done_inc = done[..., None] | (jnp.cumsum(trip.astype(jnp.int32), -1) > 0)
 
         # Frozen semantics: zero alphas at/after the trip, recompute.
         alpha_eff = jnp.where(done_inc, 0.0, alpha)
-        l1m_eff = jnp.log1p(-alpha_eff)
-        cum_eff = jnp.cumsum(l1m_eff, axis=-1)
-        T_before = jnp.exp(logT[..., None] + cum_eff - l1m_eff)  # exclusive
+        one_m = 1.0 - alpha_eff
+        cp_eff = jnp.cumprod(one_m, axis=-1)  # inclusive
+        T_before = T_carry[..., None] * (cp_eff / one_m)  # exclusive; 1-a >= 0.01
         w = T_before * alpha_eff  # (T, 256, K)
         color_acc = jnp.einsum(
             "tpk,tkc->tpc", w, col, preferred_element_type=jnp.float32
         )
 
-        new_logT = logT + cum_eff[..., -1]
+        new_T = T_carry * cp_eff[..., -1]
         new_done = done_inc[..., -1]
-        return (new_logT, new_done), color_acc
+        return (new_T, new_done), color_acc
 
     shape = (num_tiles, TILE * TILE)
-    init = (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, bool))
-    (logT, _), color_chunks = jax.lax.scan(
+    init = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, bool))
+    (T_final, _), color_chunks = jax.lax.scan(
         step, init, jnp.arange(n_rounds, dtype=jnp.int32)
     )
     tile_colors = color_chunks.sum(axis=0)  # (T, 256, 3)
-    return tile_colors, jnp.exp(logT)
+    return tile_colors, T_final
 
 
 def assemble_image(tile_colors, tile_T, bg, tiles_x, tiles_y, width, height):

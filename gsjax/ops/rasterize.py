@@ -49,10 +49,15 @@ class RasterizeSettings:
     max_pairs: int = 1 << 20
     max_splats_per_tile: int = 1024
     chunk: int = 32
+    backend: str = "xla"  # "xla" (scan; differentiable) | "pallas" (TPU kernel)
+    pallas_chunk: int = 128  # pairs staged per DMA in the pallas kernel
+    exact_depth_sort: bool = False  # full-f32 depth keys (slower 2-key sort)
 
     def __post_init__(self):
         if self.max_splats_per_tile % self.chunk:
             raise ValueError("max_splats_per_tile must be a multiple of chunk")
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
 
 
 def render(
@@ -93,19 +98,37 @@ def render(
         active_mask=active_mask,
         means2d_offset=means2d_offset,
     )
-    bins = build_tile_bins(splats, tiles_x, tiles_y, settings.max_pairs)
-    tile_colors, tile_T = composite_tiles(
-        bins.pair_gauss,
-        bins.tile_start,
-        splats.means2d,
-        splats.conics,
-        splats.colors,
-        splats.opacities,
-        tiles_x,
-        tiles_y,
-        settings.max_splats_per_tile,
-        settings.chunk,
+    bins = build_tile_bins(
+        splats, tiles_x, tiles_y, settings.max_pairs,
+        exact_depth_sort=settings.exact_depth_sort,
     )
+    if settings.backend == "pallas":
+        from gsjax.ops.pallas_composite import (
+            composite_tiles_pallas,
+            pack_pair_attrs,
+        )
+
+        pair_attrs = pack_pair_attrs(
+            bins.pair_gauss, splats.means2d, splats.conics,
+            splats.colors, splats.opacities, settings.pallas_chunk,
+        )
+        tile_colors, tile_T, _ = composite_tiles_pallas(
+            pair_attrs, bins.tile_start, tiles_x, tiles_y,
+            chunk=settings.pallas_chunk,
+        )
+    else:
+        tile_colors, tile_T = composite_tiles(
+            bins.pair_gauss,
+            bins.tile_start,
+            splats.means2d,
+            splats.conics,
+            splats.colors,
+            splats.opacities,
+            tiles_x,
+            tiles_y,
+            settings.max_splats_per_tile,
+            settings.chunk,
+        )
     image, final_T = assemble_image(
         tile_colors, tile_T, jnp.asarray(bg, jnp.float32), tiles_x, tiles_y,
         camera.width, camera.height,

@@ -184,3 +184,25 @@ def test_render_deterministic():
     img1 = tiled_fn()(cam, *args, BG, 1.0)["render"]
     img2 = tiled_fn()(cam, *[a + 0 for a in args[:5]], *args[5:], BG, 1.0)["render"]
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+
+
+def test_pallas_backend_matches_xla_forward():
+    """The Pallas TPU compositing kernel (run in interpreter mode on CPU)
+    must reproduce the XLA-scan renderer bit-for-bit up to reassociation."""
+    pallas_settings = RasterizeSettings(
+        max_pairs=1 << 16, backend="pallas", pallas_chunk=128
+    )
+    for cam_seed, bg in [(None, BG), (3, WHITE)]:
+        cam, gs = scene(cam_seed=cam_seed)
+        args = full_args(gs)
+        out_x = tiled_fn()(cam, *args, bg, 1.0)
+        out_p = render(
+            cam, *gs, 3, bg, pallas_settings,
+            active_mask=args[5], means2d_offset=args[6],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_p["render"]), np.asarray(out_x["render"]), atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_p["final_T"]), np.asarray(out_x["final_T"]), atol=3e-5
+        )
