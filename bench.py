@@ -53,7 +53,7 @@ def main():
     bg = jnp.zeros(3)
     fwd_settings = RasterizeSettings(max_pairs=1 << 22, backend="pallas")
     bwd_settings = RasterizeSettings(
-        max_pairs=1 << 22, max_splats_per_tile=1024, chunk=32, backend="xla"
+        max_pairs=1 << 22, max_splats_per_tile=1024, chunk=32, backend="pallas"
     )
 
     # measure the host round-trip with a trivial computation

@@ -33,9 +33,12 @@ from gsjax.ops.projection import Splats
 class TileBins(NamedTuple):
     pair_gauss: jnp.ndarray  # (P,) int32 gaussian index per sorted pair
     pair_tile: jnp.ndarray  # (P,) int32 tile id per sorted pair (T = sentinel)
+    pair_slot: jnp.ndarray  # (P,) int32 pre-sort (expansion) slot per pair
     tile_start: jnp.ndarray  # (T + 1,) int32 range starts into sorted pairs
     num_pairs: jnp.ndarray  # () int32 valid pairs after budget clamp
     num_dropped: jnp.ndarray  # () int32 pairs lost to the budget
+    gauss_offset: jnp.ndarray  # (N,) int32 expansion-slot offset per gaussian
+    gauss_count: jnp.ndarray  # (N,) int32 pairs per gaussian (pre-budget)
 
 
 def _cummax_blocked(x, block: int = 1024):
@@ -114,14 +117,16 @@ def build_tile_bins(
 
     if exact_depth_sort:
         depth = jnp.where(pair_valid, splats.depths[g], jnp.inf)
-        tile_s, _, sorted_g = jax.lax.sort(
-            (tile, depth, g), num_keys=2, is_stable=True
+        tile_s, _, sorted_g, sorted_slot = jax.lax.sort(
+            (tile, depth, g, slot), num_keys=2, is_stable=True
         )
     else:
         key = (tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | jnp.where(
             pair_valid, d[:, 4], (1 << depth_bits) - 1
         ).astype(jnp.uint32)
-        key_s, sorted_g = jax.lax.sort((key, g), num_keys=1, is_stable=True)
+        key_s, sorted_g, sorted_slot = jax.lax.sort(
+            (key, g, slot), num_keys=1, is_stable=True
+        )
         tile_s = (key_s >> jnp.uint32(depth_bits)).astype(jnp.int32)
 
     tile_start = jnp.searchsorted(
@@ -131,7 +136,10 @@ def build_tile_bins(
     return TileBins(
         pair_gauss=sorted_g,
         pair_tile=tile_s,
+        pair_slot=sorted_slot,
         tile_start=tile_start,
         num_pairs=num_pairs,
         num_dropped=num_dropped,
+        gauss_offset=offsets,
+        gauss_count=counts,
     )

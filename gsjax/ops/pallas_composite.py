@@ -268,3 +268,395 @@ def composite_tiles_pallas(
     tile_T = out[:, :, 3]
     ncontrib = out[:, :, 4].astype(jnp.int32)
     return tile_colors, tile_T, ncontrib
+
+
+def _lane_rev_cumprod(x, width):
+    """Inclusive *reverse* cumulative product along axis 1: out_i = prod_{j>=i}."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < width:
+        shifted = pltpu.roll(x, width - s, 1)  # roll left by s
+        x = x * jnp.where(lanes < width - s, shifted, 1.0)
+        s *= 2
+    return x
+
+
+def _lane_rev_cumsum(x, width):
+    """Inclusive reverse cumulative sum along axis 1: out_i = sum_{j>=i}."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < width:
+        shifted = pltpu.roll(x, width - s, 1)
+        x = x + jnp.where(lanes < width - s, shifted, 0.0)
+        s *= 2
+    return x
+
+
+def _composite_bwd_kernel(
+    # scalar prefetch
+    tile_start_ref,
+    padded_start_ref,
+    # inputs
+    pair_attrs_hbm,  # (16, P + chunk) HBM — residual from forward
+    io_ref,  # (1, PIX, 8) VMEM: vr vg vb u T_N ncon 0 0
+    _zeros_in,  # (16, P_pad) HBM — aliased to grads_hbm (zero init)
+    # outputs
+    grads_hbm,  # (16, P_pad) HBM — per-pair grads at padded slots
+    # scratch
+    buf,  # (2, ATTR_W, chunk) f32 VMEM — input double buffer
+    obuf,  # (2, ATTR_W, chunk) f32 VMEM — output double buffer
+    sems,  # (2,) input DMA semaphores
+    osems,  # (2,) output DMA semaphores
+    *,
+    chunk,
+    tiles_x,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    end = tile_start_ref[t + 1]
+    win = (start // chunk) * chunk
+    pstart = padded_start_ref[t]
+
+    tx = t % tiles_x
+    ty = t // tiles_x
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (tx * TILE + p_idx % TILE).astype(jnp.float32)
+    py = (ty * TILE + p_idx // TILE).astype(jnp.float32)
+
+    io = io_ref[0]  # (PIX, 8)
+    io_lane = jax.lax.broadcasted_iota(jnp.int32, (PIX, 8), 1)
+
+    def col(i):
+        return jnp.sum(jnp.where(io_lane == i, io, 0.0), axis=1, keepdims=True)
+
+    vr, vg, vb, u, T_N, ncon_f = col(0), col(1), col(2), col(3), col(4), col(5)
+    ncon = ncon_f.astype(jnp.int32)  # (PIX, 1) local index count
+
+    # chunks beyond the last contributing pair need no walk; their padded
+    # grad slots stay zero via the zero-initialized (aliased) output
+    maxn = jnp.max(ncon)  # scalar
+    n_bwd = jnp.where(
+        maxn > 0, (start - win + maxn - 1) // chunk + 1, 0
+    )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    def in_dma(slot, ci):
+        off = pl.multiple_of(win + ci * chunk, chunk)
+        return pltpu.make_async_copy(
+            pair_attrs_hbm.at[:, pl.ds(off, chunk)], buf.at[slot], sems.at[slot]
+        )
+
+    def out_dma(slot, ci):
+        off = pl.multiple_of(pstart + ci * chunk, chunk)
+        return pltpu.make_async_copy(
+            obuf.at[slot], grads_hbm.at[:, pl.ds(off, chunk)], osems.at[slot]
+        )
+
+    @pl.when(n_bwd > 0)
+    def _():
+        in_dma(0, n_bwd - 1).start()
+
+    def body(k, state):
+        Trec, S = state
+        ci = n_bwd - 1 - k
+        slot = k % 2
+
+        @pl.when(k + 1 < n_bwd)
+        def _():
+            in_dma((k + 1) % 2, ci - 1).start()
+
+        in_dma(slot, ci).wait()
+        mean_x = buf[slot, 0:1, :]
+        mean_y = buf[slot, 1:2, :]
+        ca = buf[slot, 2:3, :]
+        cb = buf[slot, 3:4, :]
+        cc = buf[slot, 4:5, :]
+        op = buf[slot, 5:6, :]
+        col_r = buf[slot, 6:7, :]
+        col_g = buf[slot, 7:8, :]
+        col_b = buf[slot, 8:9, :]
+
+        gidx = win + ci * chunk + lane
+        dx = px - mean_x
+        dy = py - mean_y
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        raw = op * jnp.exp(power)
+        alpha = jnp.minimum(ALPHA_MAX, raw)
+        contrib = (
+            (gidx >= start)
+            & (gidx < end)
+            & (power <= 0.0)
+            & (alpha >= ALPHA_MIN)
+            & ((gidx - start) < ncon)
+        )
+        a = jnp.where(contrib, alpha, 0.0)
+        one_m = 1.0 - a
+
+        # transmittance before each pair, reconstructed back-to-front
+        R = _lane_rev_cumprod(one_m, chunk)  # prod_{j>=i} (1 - a_j)
+        T_i = Trec / R
+        w = T_i * a
+
+        cdotv = col_r * vr + col_g * vg + col_b * vb  # (PIX, chunk)
+        q = w * cdotv
+        S_i = S + _lane_rev_cumsum(q, chunk) - q  # suffix sum, exclusive
+        dalpha = T_i * cdotv - (S_i + T_N * u) / one_m
+        live = contrib & (raw <= ALPHA_MAX)  # clamp kills d(op, power)
+        g_pow = jnp.where(live, alpha * dalpha, 0.0)
+
+        g_op = jnp.sum(jnp.where(live, jnp.exp(power) * dalpha, 0.0), axis=0, keepdims=True)
+        g_ca = jnp.sum(-0.5 * dx * dx * g_pow, axis=0, keepdims=True)
+        g_cb = jnp.sum(-dx * dy * g_pow, axis=0, keepdims=True)
+        g_cc = jnp.sum(-0.5 * dy * dy * g_pow, axis=0, keepdims=True)
+        g_mx = jnp.sum((ca * dx + cb * dy) * g_pow, axis=0, keepdims=True)
+        g_my = jnp.sum((cc * dy + cb * dx) * g_pow, axis=0, keepdims=True)
+        g_r = jnp.sum(w * vr, axis=0, keepdims=True)
+        g_g = jnp.sum(w * vg, axis=0, keepdims=True)
+        g_b = jnp.sum(w * vb, axis=0, keepdims=True)
+
+        # previous write on this slot must land before reuse
+        @pl.when(k >= 2)
+        def _():
+            out_dma(slot, n_bwd - 1 - (k - 2)).wait()
+
+        zero_row = jnp.zeros((1, chunk), jnp.float32)
+        obuf[slot] = jnp.concatenate(
+            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_g, g_b]
+            + [zero_row] * (ATTR_W - 9),
+            axis=0,
+        )
+        out_dma(slot, ci).start()
+
+        # lane reductions keep (PIX, 1) carries lane-replicated
+        first = jax.lax.broadcasted_iota(jnp.int32, R.shape, 1) == 0
+        Trec = Trec / jnp.sum(jnp.where(first, R, 0.0), axis=1, keepdims=True)
+        S = S + jnp.sum(q, axis=1, keepdims=True)
+        return Trec, S
+
+    jax.lax.fori_loop(0, n_bwd, body, (T_N, jnp.zeros((PIX, 1), jnp.float32)))
+
+    # drain outstanding output DMAs (last two slots)
+    @pl.when(n_bwd >= 1)
+    def _():
+        out_dma((n_bwd - 1) % 2, 0).wait()
+
+    @pl.when(n_bwd >= 2)
+    def _():
+        out_dma((n_bwd - 2) % 2, 1).wait()
+
+
+def _blocked_cumsum_rows(x, block: int = 4096):
+    """Inclusive cumulative sum along axis 0 of (P, C), two-level."""
+    p, c = x.shape
+    if p % block:
+        return jnp.cumsum(x, axis=0)
+    rows = x.reshape(p // block, block, c)
+    within = jnp.cumsum(rows, axis=1)
+    totals = within[:, -1, :]
+    carry = jnp.cumsum(totals, axis=0)
+    carry = jnp.concatenate([jnp.zeros((1, c), x.dtype), carry[:-1]], axis=0)
+    return (within + carry[:, None, :]).reshape(p, c)
+
+
+def composite_pallas_grads(
+    pair_attrs,  # (16, P + chunk) residual
+    tile_start,  # (T + 1,)
+    d_tile_colors,  # (T, PIX, 3)
+    d_tile_T,  # (T, PIX)
+    final_T,  # (T, PIX)
+    ncontrib,  # (T, PIX) int32 (local indices)
+    pair_slot,  # (P,) expansion slot per sorted pair
+    gauss_offset,  # (N,) expansion offset per gaussian
+    gauss_count,  # (N,)
+    tiles_x: int,
+    tiles_y: int,
+    chunk: int = CHUNK,
+    interpret: bool | None = None,
+):
+    """Backward pass: per-pair gradient kernel + deterministic segmented
+    reduction to per-gaussian cotangents.
+
+    Returns (d_means2d (N,2), d_conics (N,3), d_colors (N,3), d_opacities (N,)).
+
+    Replaces the CUDA backward's atomicAdd accumulation (SURVEY.md §5.2)
+    with: per-pair grads written to per-tile-exclusive padded slots, an
+    index-mapped re-ordering into expansion order (where each gaussian's
+    pairs are contiguous), and a two-level cumulative-sum segment reduce —
+    fully deterministic.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    num_t = tiles_x * tiles_y
+    max_pairs = pair_slot.shape[0]
+    p_pad = max_pairs + chunk * num_t + chunk
+
+    start = tile_start[:num_t]
+    end = tile_start[1 : num_t + 1]
+    win = (start // chunk) * chunk
+    wsize = jnp.where(end > win, ((end - win + chunk - 1) // chunk) * chunk, 0)
+    padded_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(wsize).astype(jnp.int32)]
+    )
+
+    io8 = jnp.concatenate(
+        [
+            d_tile_colors.astype(jnp.float32),
+            d_tile_T[..., None].astype(jnp.float32),
+            final_T[..., None],
+            ncontrib[..., None].astype(jnp.float32),
+            jnp.zeros((num_t, PIX, 2), jnp.float32),
+        ],
+        axis=2,
+    )  # (T, PIX, 8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, PIX, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ATTR_W, chunk), jnp.float32),
+            pltpu.VMEM((2, ATTR_W, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    zeros_out = jnp.zeros((ATTR_W, p_pad), jnp.float32)
+    grads_padded = pl.pallas_call(
+        functools.partial(_composite_bwd_kernel, chunk=chunk, tiles_x=tiles_x),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ATTR_W, p_pad), jnp.float32),
+        input_output_aliases={4: 0},  # zeros input (after 2 prefetch + 2 inputs) -> output
+        interpret=interpret,
+    )(tile_start, padded_start, pair_attrs, io8, zeros_out)
+
+    # --- reduction: padded per-pair grads -> per-gaussian cotangents ---
+    # map sorted pair i (tile t) to its padded slot: i + shift[t], with
+    # shift[t] = padded_start[t] - win[t] (nondecreasing in t)
+    shift = padded_start[:num_t] - win
+    count = end - start
+    starts_fill = jnp.where(count > 0, start, max_pairs)
+    seg = (
+        jnp.zeros(max_pairs, jnp.int32).at[starts_fill].max(shift, mode="drop")
+    )
+    shift_fill = _cummax_blocked_1d(seg)
+    i_arr = jnp.arange(max_pairs, dtype=jnp.int32)
+    num_valid = tile_start[num_t]
+    padded_pos = jnp.where(i_arr < num_valid, i_arr + shift_fill, p_pad - 1)
+
+    # expansion-order positions: exp_pos[slot] = padded slot of that pair
+    scatter_idx = jnp.where(i_arr < num_valid, pair_slot, max_pairs)
+    exp_pos = (
+        jnp.full(max_pairs, p_pad - 1, jnp.int32)
+        .at[scatter_idx]
+        .set(padded_pos, mode="drop")
+    )
+    grads_exp = grads_padded.T[exp_pos]  # (P, 16) row gather
+
+    csum = _blocked_cumsum_rows(grads_exp)  # inclusive (P, 16)
+    csum = jnp.concatenate([jnp.zeros((1, ATTR_W), jnp.float32), csum], axis=0)
+    lo = jnp.clip(gauss_offset, 0, max_pairs)
+    hi = jnp.clip(gauss_offset + gauss_count, 0, max_pairs)
+    per_gauss = csum[hi] - csum[lo]  # (N, 16)
+
+    d_means2d = per_gauss[:, 0:2]
+    d_conics = per_gauss[:, 2:5]
+    d_opacities = per_gauss[:, 5]
+    d_colors = per_gauss[:, 6:9]
+    return d_means2d, d_conics, d_colors, d_opacities
+
+
+def _cummax_blocked_1d(x, block: int = 1024):
+    n = x.shape[0]
+    if n % block:
+        return jax.lax.cummax(x)
+    rows = x.reshape(n // block, block)
+    within = jax.lax.cummax(rows, axis=1)
+    totals = within[:, -1]
+    carry = jax.lax.cummax(totals)
+    carry = jnp.concatenate(
+        [jnp.full((1,), jnp.iinfo(x.dtype).min, x.dtype), carry[:-1]]
+    )
+    return jnp.maximum(within, carry[:, None]).reshape(n)
+
+
+def composite_pallas(
+    means2d,
+    conics,
+    colors,
+    opacities,
+    pair_gauss,
+    pair_slot,
+    tile_start,
+    gauss_offset,
+    gauss_count,
+    tiles_x: int,
+    tiles_y: int,
+    chunk: int = CHUNK,
+):
+    """Differentiable Pallas compositing: custom VJP pairing the forward
+    tile kernel with the back-to-front replay kernel (the JAX equivalent of
+    diff-gaussian-rasterization's autograd.Function; SURVEY.md §2.2 N1).
+
+    Returns (tile_colors (T, PIX, 3), tile_T (T, PIX)).
+    """
+    return _composite_vjp(
+        means2d, conics, colors, opacities, pair_gauss, pair_slot,
+        tile_start, gauss_offset, gauss_count, tiles_x, tiles_y, chunk,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _composite_vjp(
+    means2d, conics, colors, opacities, pair_gauss, pair_slot,
+    tile_start, gauss_offset, gauss_count, tiles_x, tiles_y, chunk,
+):
+    pair_attrs = pack_pair_attrs(
+        pair_gauss, means2d, conics, colors, opacities, chunk
+    )
+    tc, tT, _ = composite_tiles_pallas(
+        pair_attrs, tile_start, tiles_x, tiles_y, chunk
+    )
+    return tc, tT
+
+
+def _composite_vjp_fwd(
+    means2d, conics, colors, opacities, pair_gauss, pair_slot,
+    tile_start, gauss_offset, gauss_count, tiles_x, tiles_y, chunk,
+):
+    pair_attrs = pack_pair_attrs(
+        pair_gauss, means2d, conics, colors, opacities, chunk
+    )
+    tc, tT, ncon = composite_tiles_pallas(
+        pair_attrs, tile_start, tiles_x, tiles_y, chunk
+    )
+    res = (pair_attrs, tile_start, tT, ncon, pair_slot, gauss_offset, gauss_count)
+    return (tc, tT), res
+
+
+def _composite_vjp_bwd(tiles_x, tiles_y, chunk, res, cts):
+    import numpy as np
+
+    pair_attrs, tile_start, final_T, ncon, pair_slot, gauss_offset, gauss_count = res
+    d_tc, d_tT = cts
+    d_means2d, d_conics, d_colors, d_opacities = composite_pallas_grads(
+        pair_attrs, tile_start, d_tc, d_tT, final_T, ncon,
+        pair_slot, gauss_offset, gauss_count, tiles_x, tiles_y, chunk,
+    )
+
+    def int_ct(x):
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    return (
+        d_means2d, d_conics, d_colors, d_opacities,
+        int_ct(pair_slot), int_ct(pair_slot), int_ct(tile_start),
+        int_ct(gauss_offset), int_ct(gauss_count),
+    )
+
+
+_composite_vjp.defvjp(_composite_vjp_fwd, _composite_vjp_bwd)

@@ -103,18 +103,13 @@ def render(
         exact_depth_sort=settings.exact_depth_sort,
     )
     if settings.backend == "pallas":
-        from gsjax.ops.pallas_composite import (
-            composite_tiles_pallas,
-            pack_pair_attrs,
-        )
+        from gsjax.ops.pallas_composite import composite_pallas
 
-        pair_attrs = pack_pair_attrs(
-            bins.pair_gauss, splats.means2d, splats.conics,
-            splats.colors, splats.opacities, settings.pallas_chunk,
-        )
-        tile_colors, tile_T, _ = composite_tiles_pallas(
-            pair_attrs, bins.tile_start, tiles_x, tiles_y,
-            chunk=settings.pallas_chunk,
+        tile_colors, tile_T = composite_pallas(
+            splats.means2d, splats.conics, splats.colors, splats.opacities,
+            bins.pair_gauss, bins.pair_slot, bins.tile_start,
+            bins.gauss_offset, bins.gauss_count,
+            tiles_x, tiles_y, settings.pallas_chunk,
         )
     else:
         tile_colors, tile_T = composite_tiles(

@@ -206,3 +206,26 @@ def test_pallas_backend_matches_xla_forward():
         np.testing.assert_allclose(
             np.asarray(out_p["final_T"]), np.asarray(out_x["final_T"]), atol=3e-5
         )
+
+
+def test_pallas_backend_matches_xla_gradients():
+    """Custom-VJP (Pallas backward kernel + deterministic segment reduce)
+    vs XLA autodiff through the scan renderer."""
+    cam, gs = scene()
+    args = full_args(gs)
+    pallas_grad = _probe_loss(
+        render,
+        settings=RasterizeSettings(
+            max_pairs=1 << 16, backend="pallas", pallas_chunk=128
+        ),
+    )
+    probe = jnp.asarray(np.random.default_rng(7).normal(size=(H, W, 3)))
+    g_p = pallas_grad(cam, *args, probe)
+    g_x = tiled_grad()(cam, *args, probe)
+    for name, a, b in zip(
+        ["means3d", "scales", "quats", "opacities", "shs", "offset"], g_p, g_x
+    ):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4, err_msg=name
+        )
