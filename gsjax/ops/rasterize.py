@@ -49,14 +49,14 @@ class RasterizeSettings:
     max_pairs: int = 1 << 20
     max_splats_per_tile: int = 1024
     chunk: int = 32
-    backend: str = "xla"  # "xla" (scan; differentiable) | "pallas" (TPU kernel)
+    backend: str = "auto"  # "auto" | "xla" (scan) | "pallas" (TPU kernel); all differentiable
     pallas_chunk: int = 128  # pairs staged per DMA in the pallas kernel
     exact_depth_sort: bool = False  # full-f32 depth keys (slower 2-key sort)
 
     def __post_init__(self):
         if self.max_splats_per_tile % self.chunk:
             raise ValueError("max_splats_per_tile must be a multiple of chunk")
-        if self.backend not in ("xla", "pallas"):
+        if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
 
 
@@ -102,7 +102,12 @@ def render(
         splats, tiles_x, tiles_y, settings.max_pairs,
         exact_depth_sort=settings.exact_depth_sort,
     )
-    if settings.backend == "pallas":
+    backend = settings.backend
+    if backend == "auto":
+        import jax
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
         from gsjax.ops.pallas_composite import composite_pallas
 
         tile_colors, tile_T = composite_pallas(

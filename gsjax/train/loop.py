@@ -40,6 +40,7 @@ from gsjax.train.step import (
     make_densify_step,
     make_render_fn,
     make_train_step,
+    make_train_step_chained,
     stack_images,
 )
 
@@ -100,6 +101,7 @@ def training(
     capacity: Optional[int] = None,
     gui_callback: Optional[Callable] = None,
     seed: int = 0,
+    steps_per_dispatch: int = 25,
 ):
     """Train a scene end-to-end. Returns (scene, final GaussianState)."""
     random.seed(seed)
@@ -152,9 +154,48 @@ def training(
         print(f"Restored checkpoint at iteration {first_iter}")
 
     step = make_train_step(tx, cam_batch, images, cfg)
+    n_chain = max(1, int(steps_per_dispatch))
+    chained = (
+        make_train_step_chained(tx, cam_batch, images, cfg, n_chain)
+        if n_chain > 1
+        else None
+    )
     densify_step, reset_step = make_densify_step(opt, cfg)
     render_fn = make_render_fn(cfg)
     bg = jnp.full(3, 1.0 if model.white_background else 0.0, jnp.float32)
+
+    # Iterations at which post-step work happens (densify/reset/eval/save/
+    # checkpoint); a chained dispatch may END on one but not cross one.
+    def is_event(i: int) -> bool:
+        if i in testing_iterations or i in saving_iterations:
+            return True
+        if i in checkpoint_iterations or i == opt.iterations:
+            return True
+        if i < opt.densify_until_iter:
+            if i > opt.densify_from_iter and i % opt.densification_interval == 0:
+                return True
+            if i % opt.opacity_reset_interval == 0:
+                return True
+            if model.white_background and i == opt.densify_from_iter:
+                return True
+        return False
+
+    def chain_len(i: int) -> int:
+        """How many steps starting at iteration i can run in one dispatch."""
+        k = 1
+        while k < n_chain:
+            nxt = i + k
+            if nxt % 1000 == 0:  # SH ramp happens before the step at nxt
+                break
+            if is_event(nxt - 1):  # post-step work after iteration nxt - 1
+                break
+            k += 1
+        return k
+
+    def pop_camera() -> int:
+        if not viewpoint_stack:
+            viewpoint_stack.extend(range(len(train_cams)))
+        return viewpoint_stack.pop(random.randint(0, len(viewpoint_stack) - 1))
 
     key = jax.random.PRNGKey(seed)
     viewpoint_stack: List[int] = []
@@ -162,7 +203,10 @@ def training(
     t_start = time.time()
     it_times = []
 
-    for iteration in range(first_iter + 1, opt.iterations + 1):
+    iteration = first_iter
+    while iteration < opt.iterations:
+        iteration += 1
+
         if gui_callback is not None:
             gui_callback(iteration, state, render_fn)
 
@@ -175,15 +219,26 @@ def training(
                 ),
             )
 
-        if not viewpoint_stack:
-            viewpoint_stack = list(range(len(train_cams)))
-        cam_idx = viewpoint_stack.pop(random.randint(0, len(viewpoint_stack) - 1))
-
+        k_len = chain_len(iteration) if gui_callback is None else 1
         key, k = jax.random.split(key)
         t0 = time.time()
-        state, opt_state, metrics = step(state, opt_state, jnp.int32(cam_idx), k)
-        loss = float(metrics["loss"])
-        it_times.append(time.time() - t0)
+        if chained is not None and k_len == n_chain:
+            cam_idxs = jnp.asarray(
+                [pop_camera() for _ in range(n_chain)], jnp.int32
+            )
+            state, opt_state, metrics = chained(state, opt_state, cam_idxs, k)
+            loss = float(metrics["loss_mean"])
+            n_stepped = n_chain
+        else:
+            cam_idx = pop_camera()
+            state, opt_state, metrics = step(
+                state, opt_state, jnp.int32(cam_idx), k
+            )
+            loss = float(metrics["loss"])
+            n_stepped = 1
+        dt = time.time() - t0
+        it_times.extend([dt / n_stepped] * n_stepped)
+        iteration += n_stepped - 1
         ema_loss = 0.4 * loss + 0.6 * ema_loss
 
         if not quiet and iteration % 100 == 0:

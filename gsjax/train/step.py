@@ -99,6 +99,62 @@ def make_render_fn(cfg: TrainConfig):
     return render_fn
 
 
+def _train_step_body(
+    tx, cameras, images, cfg: TrainConfig, bg_color,
+    state: GaussianState, opt_state, cam_idx, key,
+):
+    camera = index_render_camera(cameras, cam_idx)
+    gt = images[cam_idx]
+    if gt.dtype == jnp.uint8:
+        gt = gt.astype(jnp.float32) / 255.0
+    bg = (
+        jax.random.uniform(key, (3,))
+        if cfg.random_background
+        else bg_color
+    )
+    offset = jnp.zeros((state.capacity, 2))
+
+    def loss_fn(params, offset):
+        means3d, scales, quats, opac, shs = _activated_from(params)
+        out = render(
+            camera,
+            means3d,
+            scales,
+            quats,
+            opac,
+            shs,
+            state.active_sh_degree,
+            bg,
+            cfg.settings,
+            active_mask=state.active,
+            means2d_offset=offset,
+        )
+        img = out["render"]
+        ll1 = l1_loss(img, gt)
+        loss = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (
+            1.0 - ssim(img, gt)
+        )
+        return loss, (out, ll1)
+
+    (loss, (out, ll1)), (g_params, g_offset) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(state.params, offset)
+
+    updates, new_opt_state = tx.update(g_params, opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = dataclasses.replace(state, params=new_params)
+    new_state = add_densification_stats(
+        new_state, g_offset, out["radii"], camera.width, camera.height
+    )
+    metrics = {
+        "loss": loss,
+        "l1": ll1,
+        "num_dropped_pairs": out["num_dropped"],
+        "num_active": new_state.num_active,
+    }
+    return new_state, new_opt_state, metrics
+
+
 def make_train_step(
     tx: optax.GradientTransformation,
     cameras: RenderCamera,  # stacked batch (leading axis = view)
@@ -115,58 +171,55 @@ def make_train_step(
 
     @jax.jit
     def step(state: GaussianState, opt_state, cam_idx, key):
-        camera = index_render_camera(cameras, cam_idx)
-        gt = images[cam_idx]
-        if gt.dtype == jnp.uint8:
-            gt = gt.astype(jnp.float32) / 255.0
-        bg = (
-            jax.random.uniform(key, (3,))
-            if cfg.random_background
-            else bg_color
+        return _train_step_body(
+            tx, cameras, images, cfg, bg_color, state, opt_state, cam_idx, key
         )
-        offset = jnp.zeros((state.capacity, 2))
-
-        def loss_fn(params, offset):
-            means3d, scales, quats, opac, shs = _activated_from(params)
-            out = render(
-                camera,
-                means3d,
-                scales,
-                quats,
-                opac,
-                shs,
-                state.active_sh_degree,
-                bg,
-                cfg.settings,
-                active_mask=state.active,
-                means2d_offset=offset,
-            )
-            img = out["render"]
-            ll1 = l1_loss(img, gt)
-            loss = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (
-                1.0 - ssim(img, gt)
-            )
-            return loss, (out, ll1)
-
-        (loss, (out, ll1)), (g_params, g_offset) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(state.params, offset)
-
-        updates, new_opt_state = tx.update(g_params, opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = dataclasses.replace(state, params=new_params)
-        new_state = add_densification_stats(
-            new_state, g_offset, out["radii"], camera.width, camera.height
-        )
-        metrics = {
-            "loss": loss,
-            "l1": ll1,
-            "num_dropped_pairs": out["num_dropped"],
-            "num_active": new_state.num_active,
-        }
-        return new_state, new_opt_state, metrics
 
     return step
+
+
+def make_train_step_chained(
+    tx: optax.GradientTransformation,
+    cameras: RenderCamera,
+    images,
+    cfg: TrainConfig,
+    n_steps: int,
+):
+    """A jitted scan over ``n_steps`` full train steps — one host dispatch.
+
+    The per-dispatch host round trip (~30ms through the device tunnel)
+    otherwise dominates the step time; the reference has no analogue
+    because CUDA launches are ~10us. Densification, SH ramps, eval and
+    checkpoints happen at chunk boundaries, so the driver only uses this
+    for event-free iteration ranges.
+
+    step(state, opt_state, cam_idxs (n_steps,), key) ->
+        (state, opt_state, metrics of last step + "loss_mean")
+    """
+    bg_color = jnp.full(3, 1.0 if cfg.white_background else 0.0, jnp.float32)
+    images = jnp.asarray(images)
+
+    @jax.jit
+    def chained(state: GaussianState, opt_state, cam_idxs, key):
+        def body(carry, x):
+            state, opt_state = carry
+            i, cam_idx = x
+            k = jax.random.fold_in(key, i)
+            state, opt_state, metrics = _train_step_body(
+                tx, cameras, images, cfg, bg_color, state, opt_state, cam_idx, k
+            )
+            return (state, opt_state), metrics
+
+        (state, opt_state), ms = jax.lax.scan(
+            body,
+            (state, opt_state),
+            (jnp.arange(n_steps, dtype=jnp.int32), cam_idxs),
+        )
+        metrics = jax.tree.map(lambda a: a[-1], ms)
+        metrics["loss_mean"] = jnp.mean(ms["loss"])
+        return state, opt_state, metrics
+
+    return chained
 
 
 def make_densify_step(opt: OptimizationParams, cfg: TrainConfig):
