@@ -88,15 +88,21 @@ def knn_mean_sq_dist(points: np.ndarray, k: int = 3) -> np.ndarray:
     """Mean squared distance of each point to its k nearest neighbors.
 
     Host-side replacement for the reference's ``simple_knn._C.distCUDA2``
-    CUDA kernel (reference: scene/gaussian_model.py:134) — exact kNN via a
-    native (C) KD-tree instead of the upstream's approximate Morton-window
-    search. Runs once at init.
+    CUDA kernel (reference: scene/gaussian_model.py:134) — exact kNN via
+    the native C++ KD-tree in gsjax/native/simple_knn.cpp (the upstream
+    uses an approximate Morton-window search). Runs once at init; falls
+    back to scipy when the native build is unavailable.
     """
-    from scipy.spatial import cKDTree
-
     pts = np.asarray(points, dtype=np.float32)
-    d, _ = cKDTree(pts).query(pts, k=k + 1, workers=-1)  # includes self (d=0)
-    return (d[:, 1:] ** 2).mean(axis=1)
+    try:
+        from gsjax.native import knn_mean_sq_dist as native_knn
+
+        return native_knn(pts, k)
+    except Exception:
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(pts).query(pts, k=k + 1, workers=-1)  # includes self
+        return (d[:, 1:] ** 2).mean(axis=1).astype(np.float32)
 
 
 def create_empty(capacity: int, max_sh_degree: int = 3, spatial_lr_scale=1.0):
