@@ -46,9 +46,12 @@ def main():
     from gsjax.ops.rasterize import RasterizeSettings
     from gsjax.train.step import render_state
 
-    n_gauss = 200_000
+    n_gauss = 1_000_000
     width, height = 1920, 1080
-    state, cam = _toy_scene(n=n_gauss, capacity=1 << 18, width=width, height=height)
+    # trained-scene-like footprints: a few pixels radius, 1-6 tiles each
+    state, cam = _toy_scene(
+        n=n_gauss, capacity=1 << 20, width=width, height=height, log_scale=-5.2
+    )
     rcam = cam.to_render_camera()
     bg = jnp.zeros(3)
     fwd_settings = RasterizeSettings(max_pairs=1 << 22, backend="pallas")

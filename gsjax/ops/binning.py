@@ -2,22 +2,26 @@
 
 TPU-native replacement for the CUDA duplicateWithKeys -> cub radix sort ->
 identifyTileRanges pipeline (reference contract documented in SURVEY.md §2.2
-N1; call sites gaussian_renderer/__init__.py:85-99). Dynamic allocation is
-replaced by a static ``max_pairs`` budget: pairs beyond the budget are
-dropped (counted, so callers can log/grow), everything else is fixed-shape
-and jit-stable.
+N1; call sites gaussian_renderer/__init__.py:85-99).
 
-Performance notes (measured on TPU v5e at 1080p / 4.2M pairs):
-- per-pair *scalar* gathers are pathologically slow on TPU (~60ms each);
-  all per-gaussian lookups are packed into one int32 row-gather.
-- 1D prefix scans over the pair buffer lower poorly; they are computed as
-  two-level (block-wise) scans over a 2D reshape.
-- the 64-bit CUDA radix key (tile << 32 | depth bits) becomes a single
-  *uint32* key: tile id in the high bits, the top bits of the positive-f32
-  depth pattern (monotone in depth) in the low bits. A stable single-key
-  sort then orders pairs by (tile, depth, gaussian id). Depth ties within
-  ~2^-9 relative precision fall back to gaussian order — invisible in
-  renders; tests needing bit-exact depth order use ``exact_depth_sort``.
+Layout: pairs live in a dense (N, MT) grid — gaussian g's j-th touched tile
+sits at slot ``g * MT + j`` (``MT = max_tiles_per_gauss``, power of two).
+Tile ids decode by broadcasting each gaussian's rect over the j axis: pure
+elementwise work, no per-pair gathers and no segment-fill scans (both of
+which dominate wall time on TPU; measured ~110ms/frame at 1080p for the
+compact-layout alternative). Gaussians touching more than MT tiles lose the
+overflow (counted in ``num_dropped``); the reference has no such cap, but
+trained scenes keep footprints a few tiles wide via the scale prune
+(train.py:119-120), so MT=32 is generous.
+
+The 64-bit CUDA radix key (tile << 32 | depth bits) becomes a single
+*uint32* key: tile id in the high bits, the top bits of the positive-f32
+depth pattern (monotone in depth) in the low bits. A stable single-key sort
+orders pairs by (tile, depth, slot). Depth ties within ~2^-9 relative
+precision fall back to slot order — invisible in renders; tests needing
+bit-exact depth order use ``exact_depth_sort``. Only the leading
+``max_pairs`` sorted pairs (all valid ones, when the budget holds) feed the
+downstream pipeline, so compositing cost is budget-bound, not N*MT-bound.
 """
 
 from __future__ import annotations
@@ -33,25 +37,11 @@ from gsjax.ops.projection import Splats
 class TileBins(NamedTuple):
     pair_gauss: jnp.ndarray  # (P,) int32 gaussian index per sorted pair
     pair_tile: jnp.ndarray  # (P,) int32 tile id per sorted pair (T = sentinel)
-    pair_slot: jnp.ndarray  # (P,) int32 pre-sort (expansion) slot per pair
+    pair_slot: jnp.ndarray  # (P,) int32 dense (g * MT + j) slot per pair
     tile_start: jnp.ndarray  # (T + 1,) int32 range starts into sorted pairs
-    num_pairs: jnp.ndarray  # () int32 valid pairs after budget clamp
-    num_dropped: jnp.ndarray  # () int32 pairs lost to the budget
-    gauss_offset: jnp.ndarray  # (N,) int32 expansion-slot offset per gaussian
-    gauss_count: jnp.ndarray  # (N,) int32 pairs per gaussian (pre-budget)
-
-
-def _cummax_blocked(x, block: int = 1024):
-    """Two-level cumulative max over a 1D int array (fast TPU layout)."""
-    n = x.shape[0]
-    if n % block:
-        return jax.lax.cummax(x)
-    rows = x.reshape(n // block, block)
-    within = jax.lax.cummax(rows, axis=1)
-    totals = within[:, -1]
-    carry = jax.lax.cummax(totals)
-    carry = jnp.concatenate([jnp.full((1,), jnp.iinfo(x.dtype).min, x.dtype), carry[:-1]])
-    return jnp.maximum(within, carry[:, None]).reshape(n)
+    num_pairs: jnp.ndarray  # () int32 valid pairs after caps
+    num_dropped: jnp.ndarray  # () int32 pairs lost to MT / budget caps
+    mt: int  # static: max tiles per gaussian (slot stride)
 
 
 def build_tile_bins(
@@ -60,78 +50,66 @@ def build_tile_bins(
     tiles_y: int,
     max_pairs: int,
     exact_depth_sort: bool = False,
+    max_tiles_per_gauss: int = 32,
 ):
     """Expand per-Gaussian tile rectangles into sorted (tile, depth) pairs."""
     n = splats.depths.shape[0]
+    mt = max_tiles_per_gauss
+    if mt & (mt - 1):
+        raise ValueError("max_tiles_per_gauss must be a power of two")
     num_tiles = tiles_x * tiles_y
-    counts = splats.tiles_touched  # (N,) int32, 0 for culled
+    counts = jnp.minimum(splats.tiles_touched, mt)  # (N,)
+    total_desired = jnp.sum(splats.tiles_touched)
 
-    cum = jnp.cumsum(counts)
-    offsets = cum - counts  # exclusive prefix sum
-    total = cum[-1] if n > 0 else jnp.int32(0)
-    num_pairs = jnp.minimum(total, max_pairs)
-    num_dropped = total - num_pairs
+    j = jnp.arange(mt, dtype=jnp.int32)[None, :]  # (1, MT)
+    rect_w = jnp.maximum(
+        splats.rect_max[:, 0] - splats.rect_min[:, 0], 1
+    )[:, None]
+    tx = splats.rect_min[:, 0:1] + j % rect_w  # (N, MT)
+    ty = splats.rect_min[:, 1:2] + j // rect_w
+    tile = ty * tiles_x + tx
+    valid = j < counts[:, None]
+    tile = jnp.where(valid, tile, num_tiles)  # sentinel sorts to the end
 
-    # Segment fill: scatter (gauss_index + 1) at each gaussian's first pair
-    # slot, then forward-fill with a cumulative max. Gaussians with zero
-    # tiles share an offset with their successor; scatter-max keeps the
-    # successor. Out-of-budget offsets are dropped by scatter mode="drop".
-    gauss_ids = jnp.arange(n, dtype=jnp.int32)
-    starts = jnp.where(counts > 0, offsets, max_pairs)  # drop empty
-    seg = (
-        jnp.zeros(max_pairs, dtype=jnp.int32)
-        .at[starts]
-        .max(gauss_ids + 1, mode="drop")
-    )
-    pair_gauss = _cummax_blocked(seg) - 1  # (P,), -1 before first segment
-    slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    pair_valid = (slot < num_pairs) & (pair_gauss >= 0)
-    g = jnp.clip(pair_gauss, 0, max(n - 1, 0))
+    slot = jnp.arange(n * mt, dtype=jnp.int32)
 
-    # Tile-id bits for the packed key; depth takes the rest of a uint32.
+    # tile-id bits for the packed key; depth takes the rest of a uint32
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     depth_bits = 32 - tile_bits
 
-    # Pack every per-gaussian quantity the decode needs into one int32 row
-    # so the per-pair lookup is a single (vectorizable) row gather.
-    depth_i = jax.lax.bitcast_convert_type(
-        jnp.maximum(splats.depths, 0.0).astype(jnp.float32), jnp.int32
-    )
-    depth_q = jax.lax.shift_right_logical(depth_i, 31 - depth_bits)
-    decode = jnp.stack(
-        [
-            offsets,
-            splats.rect_min[:, 0],
-            splats.rect_min[:, 1],
-            jnp.maximum(splats.rect_max[:, 0] - splats.rect_min[:, 0], 1),
-            depth_q,
-        ],
-        axis=1,
-    )  # (N, 5) int32
-    d = decode[g]  # (P, 5) — one row gather
-    local = slot - d[:, 0]
-    tx = d[:, 1] + local % d[:, 3]
-    ty = d[:, 2] + local // d[:, 3]
-    tile = ty * tiles_x + tx
-    tile = jnp.where(pair_valid, tile, num_tiles)  # sentinel sorts to end
-
     if exact_depth_sort:
-        depth = jnp.where(pair_valid, splats.depths[g], jnp.inf)
-        tile_s, _, sorted_g, sorted_slot = jax.lax.sort(
-            (tile, depth, g, slot), num_keys=2, is_stable=True
+        depth = jnp.where(
+            valid, jnp.broadcast_to(splats.depths[:, None], (n, mt)), jnp.inf
+        )
+        tile_flat = tile.reshape(-1)
+        tile_s, _, sorted_slot = jax.lax.sort(
+            (tile_flat, depth.reshape(-1), slot), num_keys=2, is_stable=True
         )
     else:
+        depth_i = jax.lax.bitcast_convert_type(
+            jnp.maximum(splats.depths, 0.0).astype(jnp.float32), jnp.int32
+        )
+        depth_q = jax.lax.shift_right_logical(depth_i, 31 - depth_bits)
         key = (tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | jnp.where(
-            pair_valid, d[:, 4], (1 << depth_bits) - 1
+            valid, depth_q[:, None], (1 << depth_bits) - 1
         ).astype(jnp.uint32)
-        key_s, sorted_g, sorted_slot = jax.lax.sort(
-            (key, g, slot), num_keys=1, is_stable=True
+        key_s, sorted_slot = jax.lax.sort(
+            (key.reshape(-1), slot), num_keys=1, is_stable=True
         )
         tile_s = (key_s >> jnp.uint32(depth_bits)).astype(jnp.int32)
+
+    # only the leading budget feeds compositing; valid pairs sort first
+    p = min(max_pairs, n * mt)
+    tile_s = tile_s[:p]
+    sorted_slot = sorted_slot[:p]
+    sorted_g = sorted_slot // mt
 
     tile_start = jnp.searchsorted(
         tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+
+    num_pairs = jnp.minimum(jnp.sum(counts), p)
+    num_dropped = total_desired - num_pairs
 
     return TileBins(
         pair_gauss=sorted_g,
@@ -140,6 +118,5 @@ def build_tile_bins(
         tile_start=tile_start,
         num_pairs=num_pairs,
         num_dropped=num_dropped,
-        gauss_offset=offsets,
-        gauss_count=counts,
+        mt=mt,
     )

@@ -42,8 +42,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import math
+
 from gsjax.ops.composite import ALPHA_MAX, ALPHA_MIN, T_EPS
 from gsjax.ops.projection import TILE
+
+LOG_T_EPS = math.log(T_EPS)
 
 ATTR_W = 16  # attribute rows per pair (12 used; padded to the sublane tile)
 PIX = TILE * TILE  # 256
@@ -56,9 +60,11 @@ def _interpret_default():
 
 def pack_pair_attrs(pair_gauss, means2d, conics, colors, opacities,
                     chunk: int = CHUNK):
-    """Gather per-gaussian attributes into the sorted, transposed
-    (16, P + chunk) table the kernel streams. The tail padding keeps the
-    last tile's aligned DMA window in bounds; tile ranges never cover it."""
+    """Gather per-gaussian attributes into the sorted, *chunk-major*
+    (n_chunks, 16, chunk) table the kernel streams: each leading index is
+    one contiguous 8KB DMA block (strided per-attribute-row reads would be
+    16 separate 512B transfers). Tail padding keeps the last tile's aligned
+    window in bounds; tile ranges never cover it."""
     per_gauss = jnp.concatenate(
         [
             means2d,
@@ -70,8 +76,11 @@ def pack_pair_attrs(pair_gauss, means2d, conics, colors, opacities,
         axis=1,
     ).astype(jnp.float32)  # (N, 16)
     pair = per_gauss[pair_gauss]  # (P, 16) one row gather
-    pair = jnp.concatenate([pair, jnp.zeros((chunk, 16), jnp.float32)], axis=0)
-    return pair.T  # (16, P + chunk)
+    p = pair.shape[0]
+    pad = (-p) % chunk + chunk
+    pair = jnp.concatenate([pair, jnp.zeros((pad, 16), jnp.float32)], axis=0)
+    n_chunks = pair.shape[0] // chunk
+    return pair.reshape(n_chunks, chunk, 16).transpose(0, 2, 1)
 
 
 def _lane_cumprod(x, width):
@@ -100,7 +109,7 @@ def _composite_kernel(
     # scalar prefetch
     tile_start_ref,
     # inputs
-    pair_attrs_hbm,  # (16, P + chunk) HBM
+    pair_attrs_hbm,  # (n_chunks, 16, chunk) HBM, chunk-major
     # outputs
     out_ref,  # (1, PIX, 8): r, g, b, T, n_contrib (f32), pad x3
     # scratch
@@ -126,9 +135,8 @@ def _composite_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def dma(slot, ci):
-        off = pl.multiple_of(win + ci * chunk, chunk)
         return pltpu.make_async_copy(
-            pair_attrs_hbm.at[:, pl.ds(off, chunk)],
+            pair_attrs_hbm.at[win // chunk + ci],
             buf.at[slot],
             sems.at[slot],
         )
@@ -137,8 +145,13 @@ def _composite_kernel(
     def _():
         dma(0, 0).start()
 
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri_incl = (lane_r <= lane_c).astype(jnp.float32)  # inclusive cumsum
+    tri_excl = (lane_r < lane_c).astype(jnp.float32)  # exclusive cumsum
+
     def chunk_body(state):
-        ci, all_done, T_col, done, acc_r, acc_g, acc_b, ncon = state
+        ci, all_done, logT, done, acc_r, acc_g, acc_b, ncon = state
 
         @pl.when(ci + 1 < num_chunks)
         def _():
@@ -170,14 +183,19 @@ def _composite_kernel(
         )
         alpha = jnp.where(ok, alpha, 0.0)
 
-        cp = _lane_cumprod(1.0 - alpha, chunk)  # inclusive, unfrozen
-        trip = (ok & (T_col * cp < T_EPS)).astype(jnp.int32)
-        done_inc = _lane_cumor(trip, chunk) > 0
+        # Prefix products run in log space on the MXU: cumsum along the on the MXU: cumsum along the
+        # 128 pair lanes is one (PIX, chunk) @ (chunk, chunk) triangular
+        # matmul — far cheaper than log2(chunk) VPU roll-multiply scans.
+        lg = jnp.log1p(-alpha)  # log(1 - alpha); 0 where skipped
+        cum = jnp.dot(lg, tri_incl, preferred_element_type=jnp.float32)
+        trip = (ok & (logT + cum < LOG_T_EPS)).astype(jnp.float32)
+        tripped = jnp.dot(trip, tri_incl, preferred_element_type=jnp.float32)
+        done_inc = tripped > 0.0
 
         alpha_eff = jnp.where(done_inc, 0.0, alpha)
-        one_m = 1.0 - alpha_eff
-        cp_eff = _lane_cumprod(one_m, chunk)
-        w = T_col * (cp_eff / one_m) * alpha_eff  # (PIX, chunk)
+        lg_eff = jnp.where(done_inc, 0.0, lg)
+        cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32)
+        w = alpha_eff * jnp.exp(logT + cum_excl)  # (PIX, chunk)
 
         acc_r = acc_r + jnp.sum(w * col_r, axis=1, keepdims=True)
         acc_g = acc_g + jnp.sum(w * col_g, axis=1, keepdims=True)
@@ -189,16 +207,10 @@ def _composite_kernel(
             jnp.max(jnp.where(contrib, gidx - start + 1, 0), axis=1, keepdims=True),
         )
 
-        # lane reductions (not last-lane slices) so the carried (PIX, 1)
-        # vectors keep a lane-replicated layout — Mosaic requires loop
-        # carries to have a consistent layout across iterations
-        last = jax.lax.broadcasted_iota(jnp.int32, cp_eff.shape, 1) == chunk - 1
-        T_col = T_col * jnp.sum(
-            jnp.where(last, cp_eff, 0.0), axis=1, keepdims=True
-        )
-        done = jnp.maximum(done, jnp.max(trip.astype(jnp.float32), axis=1, keepdims=True))
+        logT = logT + jnp.sum(lg_eff, axis=1, keepdims=True)
+        done = jnp.maximum(done, jnp.max(trip, axis=1, keepdims=True))
         all_done = (jnp.sum(done) >= PIX).astype(jnp.int32)
-        return ci + 1, all_done, T_col, done, acc_r, acc_g, acc_b, ncon
+        return ci + 1, all_done, logT, done, acc_r, acc_g, acc_b, ncon
 
     def chunk_cond(state):
         ci, all_done, *_ = state
@@ -207,14 +219,14 @@ def _composite_kernel(
     init = (
         jnp.int32(0),
         jnp.int32(0),
-        jnp.ones((PIX, 1), jnp.float32),
+        jnp.zeros((PIX, 1), jnp.float32),  # log T
         jnp.zeros((PIX, 1), jnp.float32),
         jnp.zeros((PIX, 1), jnp.float32),
         jnp.zeros((PIX, 1), jnp.float32),
         jnp.zeros((PIX, 1), jnp.float32),
         jnp.zeros((PIX, 1), jnp.int32),
     )
-    ci, _, T_col, done, acc_r, acc_g, acc_b, ncon = jax.lax.while_loop(
+    ci, _, logT, done, acc_r, acc_g, acc_b, ncon = jax.lax.while_loop(
         chunk_cond, chunk_body, init
     )
 
@@ -228,7 +240,8 @@ def _composite_kernel(
 
     zero = jnp.zeros((PIX, 1), jnp.float32)
     out_ref[0] = jnp.concatenate(
-        [acc_r, acc_g, acc_b, T_col, ncon.astype(jnp.float32), zero, zero, zero],
+        [acc_r, acc_g, acc_b, jnp.exp(logT), ncon.astype(jnp.float32),
+         zero, zero, zero],
         axis=1,
     )
 
@@ -297,11 +310,11 @@ def _composite_bwd_kernel(
     tile_start_ref,
     padded_start_ref,
     # inputs
-    pair_attrs_hbm,  # (16, P + chunk) HBM — residual from forward
+    pair_attrs_hbm,  # (n_chunks, 16, chunk) HBM — residual from forward
     io_ref,  # (1, PIX, 8) VMEM: vr vg vb u T_N ncon 0 0
-    _zeros_in,  # (16, P_pad) HBM — aliased to grads_hbm (zero init)
+    _zeros_in,  # (P_pad // chunk, 16, chunk) HBM — aliased to grads_hbm
     # outputs
-    grads_hbm,  # (16, P_pad) HBM — per-pair grads at padded slots
+    grads_hbm,  # (P_pad // chunk, 16, chunk) HBM — per-pair grad blocks
     # scratch
     buf,  # (2, ATTR_W, chunk) f32 VMEM — input double buffer
     obuf,  # (2, ATTR_W, chunk) f32 VMEM — output double buffer
@@ -342,23 +355,26 @@ def _composite_bwd_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def in_dma(slot, ci):
-        off = pl.multiple_of(win + ci * chunk, chunk)
         return pltpu.make_async_copy(
-            pair_attrs_hbm.at[:, pl.ds(off, chunk)], buf.at[slot], sems.at[slot]
+            pair_attrs_hbm.at[win // chunk + ci], buf.at[slot], sems.at[slot]
         )
 
     def out_dma(slot, ci):
-        off = pl.multiple_of(pstart + ci * chunk, chunk)
         return pltpu.make_async_copy(
-            obuf.at[slot], grads_hbm.at[:, pl.ds(off, chunk)], osems.at[slot]
+            obuf.at[slot], grads_hbm.at[pstart // chunk + ci], osems.at[slot]
         )
 
     @pl.when(n_bwd > 0)
     def _():
         in_dma(0, n_bwd - 1).start()
 
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    rtri_incl = (lane_r >= lane_c).astype(jnp.float32)  # suffix sum, incl
+    rtri_excl = (lane_r > lane_c).astype(jnp.float32)  # suffix sum, excl
+
     def body(k, state):
-        Trec, S = state
+        logTrec, S = state
         ci = n_bwd - 1 - k
         slot = k % 2
 
@@ -393,14 +409,16 @@ def _composite_bwd_kernel(
         a = jnp.where(contrib, alpha, 0.0)
         one_m = 1.0 - a
 
-        # transmittance before each pair, reconstructed back-to-front
-        R = _lane_rev_cumprod(one_m, chunk)  # prod_{j>=i} (1 - a_j)
-        T_i = Trec / R
+        # transmittance before each pair, reconstructed back-to-front in
+        # log space; the suffix sums run as triangular matmuls on the MXU
+        lr = jnp.log1p(-a)  # 0 where skipped
+        Rlog = jnp.dot(lr, rtri_incl, preferred_element_type=jnp.float32)
+        T_i = jnp.exp(logTrec - Rlog)
         w = T_i * a
 
         cdotv = col_r * vr + col_g * vg + col_b * vb  # (PIX, chunk)
         q = w * cdotv
-        S_i = S + _lane_rev_cumsum(q, chunk) - q  # suffix sum, exclusive
+        S_i = S + jnp.dot(q, rtri_excl, preferred_element_type=jnp.float32)
         dalpha = T_i * cdotv - (S_i + T_N * u) / one_m
         live = contrib & (raw <= ALPHA_MAX)  # clamp kills d(op, power)
         g_pow = jnp.where(live, alpha * dalpha, 0.0)
@@ -429,12 +447,14 @@ def _composite_bwd_kernel(
         out_dma(slot, ci).start()
 
         # lane reductions keep (PIX, 1) carries lane-replicated
-        first = jax.lax.broadcasted_iota(jnp.int32, R.shape, 1) == 0
-        Trec = Trec / jnp.sum(jnp.where(first, R, 0.0), axis=1, keepdims=True)
+        logTrec = logTrec - jnp.sum(lr, axis=1, keepdims=True)
         S = S + jnp.sum(q, axis=1, keepdims=True)
-        return Trec, S
+        return logTrec, S
 
-    jax.lax.fori_loop(0, n_bwd, body, (T_N, jnp.zeros((PIX, 1), jnp.float32)))
+    jax.lax.fori_loop(
+        0, n_bwd, body,
+        (jnp.log(jnp.maximum(T_N, 1e-30)), jnp.zeros((PIX, 1), jnp.float32)),
+    )
 
     # drain outstanding output DMAs (last two slots)
     @pl.when(n_bwd >= 1)
@@ -466,9 +486,9 @@ def composite_pallas_grads(
     d_tile_T,  # (T, PIX)
     final_T,  # (T, PIX)
     ncontrib,  # (T, PIX) int32 (local indices)
-    pair_slot,  # (P,) expansion slot per sorted pair
-    gauss_offset,  # (N,) expansion offset per gaussian
-    gauss_count,  # (N,)
+    pair_slot,  # (P,) dense (g * mt + j) slot per sorted pair
+    n_gauss: int,
+    mt: int,
     tiles_x: int,
     tiles_y: int,
     chunk: int = CHUNK,
@@ -481,15 +501,14 @@ def composite_pallas_grads(
 
     Replaces the CUDA backward's atomicAdd accumulation (SURVEY.md §5.2)
     with: per-pair grads written to per-tile-exclusive padded slots, an
-    index-mapped re-ordering into expansion order (where each gaussian's
-    pairs are contiguous), and a two-level cumulative-sum segment reduce —
-    fully deterministic.
+    index-mapped re-ordering into the dense (N, MT) slot grid, and a plain
+    per-gaussian axis reduction — fully deterministic.
     """
     if interpret is None:
         interpret = _interpret_default()
     num_t = tiles_x * tiles_y
     max_pairs = pair_slot.shape[0]
-    p_pad = max_pairs + chunk * num_t + chunk
+    p_pad = (-(-max_pairs // chunk)) * chunk + chunk * num_t + chunk
 
     start = tile_start[:num_t]
     end = tile_start[1 : num_t + 1]
@@ -526,16 +545,23 @@ def composite_pallas_grads(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    zeros_out = jnp.zeros((ATTR_W, p_pad), jnp.float32)
+    zeros_out = jnp.zeros((p_pad // chunk, ATTR_W, chunk), jnp.float32)
     grads_padded = pl.pallas_call(
         functools.partial(_composite_bwd_kernel, chunk=chunk, tiles_x=tiles_x),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ATTR_W, p_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((p_pad // chunk, ATTR_W, chunk), jnp.float32),
         input_output_aliases={4: 0},  # zeros input (after 2 prefetch + 2 inputs) -> output
         interpret=interpret,
     )(tile_start, padded_start, pair_attrs, io8, zeros_out)
+    grads_rows = grads_padded.transpose(0, 2, 1).reshape(p_pad, ATTR_W)
 
     # --- reduction: padded per-pair grads -> per-gaussian cotangents ---
+    # TPU scatter-adds (segment_sum) and dense-grid gathers both measure
+    # in the hundreds of ms at this size; instead: order pairs by their
+    # dense (g * mt + j) slot with one cheap i32 sort (padded positions
+    # ride along as the payload), permute the grad rows with a single
+    # natural-layout gather, and segment-reduce with a blocked cumulative
+    # sum — every step deterministic.
     # map sorted pair i (tile t) to its padded slot: i + shift[t], with
     # shift[t] = padded_start[t] - win[t] (nondecreasing in t)
     shift = padded_start[:num_t] - win
@@ -549,20 +575,29 @@ def composite_pallas_grads(
     num_valid = tile_start[num_t]
     padded_pos = jnp.where(i_arr < num_valid, i_arr + shift_fill, p_pad - 1)
 
-    # expansion-order positions: exp_pos[slot] = padded slot of that pair
-    scatter_idx = jnp.where(i_arr < num_valid, pair_slot, max_pairs)
-    exp_pos = (
-        jnp.full(max_pairs, p_pad - 1, jnp.int32)
-        .at[scatter_idx]
-        .set(padded_pos, mode="drop")
+    big = jnp.int32(2**31 - 1)
+    slot_key = jnp.where(i_arr < num_valid, pair_slot, big)
+    slot_sorted, perm = jax.lax.sort(
+        (slot_key, padded_pos), num_keys=1, is_stable=True
     )
-    grads_exp = grads_padded.T[exp_pos]  # (P, 16) row gather
+    grads_slot = grads_rows[perm]  # (P, 16) one natural-layout row gather
 
-    csum = _blocked_cumsum_rows(grads_exp)  # inclusive (P, 16)
+    csum = _blocked_cumsum_rows(grads_slot)  # inclusive (P, 16)
     csum = jnp.concatenate([jnp.zeros((1, ATTR_W), jnp.float32), csum], axis=0)
-    lo = jnp.clip(gauss_offset, 0, max_pairs)
-    hi = jnp.clip(gauss_offset + gauss_count, 0, max_pairs)
-    per_gauss = csum[hi] - csum[lo]  # (N, 16)
+    # first slot-sorted position of each gaussian (g_sorted is nondecreasing)
+    g_sorted = jnp.minimum(slot_sorted // mt, n_gauss)
+    lo = (
+        jnp.full(n_gauss + 1, max_pairs, jnp.int32)
+        .at[g_sorted]
+        .min(i_arr, mode="drop")
+    )
+    lo = jnp.flip(jax.lax.cummin(jnp.flip(lo)))
+    hi = jnp.concatenate([lo[1:], jnp.full((1,), max_pairs, jnp.int32)])
+    # valid pairs are a prefix of the slot-sorted order
+    cut = jnp.sum((slot_sorted < big).astype(jnp.int32))
+    lo = jnp.minimum(lo, cut)
+    hi = jnp.minimum(hi, cut)
+    per_gauss = csum[hi[:n_gauss]] - csum[lo[:n_gauss]]  # (N, 16)
 
     d_means2d = per_gauss[:, 0:2]
     d_conics = per_gauss[:, 2:5]
@@ -593,8 +628,7 @@ def composite_pallas(
     pair_gauss,
     pair_slot,
     tile_start,
-    gauss_offset,
-    gauss_count,
+    mt: int,
     tiles_x: int,
     tiles_y: int,
     chunk: int = CHUNK,
@@ -603,18 +637,19 @@ def composite_pallas(
     tile kernel with the back-to-front replay kernel (the JAX equivalent of
     diff-gaussian-rasterization's autograd.Function; SURVEY.md §2.2 N1).
 
+    ``mt`` is the dense slot stride (max tiles per gaussian) from binning.
     Returns (tile_colors (T, PIX, 3), tile_T (T, PIX)).
     """
     return _composite_vjp(
         means2d, conics, colors, opacities, pair_gauss, pair_slot,
-        tile_start, gauss_offset, gauss_count, tiles_x, tiles_y, chunk,
+        tile_start, mt, tiles_x, tiles_y, chunk,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _composite_vjp(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
-    tile_start, gauss_offset, gauss_count, tiles_x, tiles_y, chunk,
+    tile_start, mt, tiles_x, tiles_y, chunk,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk
@@ -627,7 +662,7 @@ def _composite_vjp(
 
 def _composite_vjp_fwd(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
-    tile_start, gauss_offset, gauss_count, tiles_x, tiles_y, chunk,
+    tile_start, mt, tiles_x, tiles_y, chunk,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk
@@ -635,18 +670,18 @@ def _composite_vjp_fwd(
     tc, tT, ncon = composite_tiles_pallas(
         pair_attrs, tile_start, tiles_x, tiles_y, chunk
     )
-    res = (pair_attrs, tile_start, tT, ncon, pair_slot, gauss_offset, gauss_count)
+    res = (pair_attrs, tile_start, tT, ncon, pair_slot, means2d.shape[0])
     return (tc, tT), res
 
 
-def _composite_vjp_bwd(tiles_x, tiles_y, chunk, res, cts):
+def _composite_vjp_bwd(mt, tiles_x, tiles_y, chunk, res, cts):
     import numpy as np
 
-    pair_attrs, tile_start, final_T, ncon, pair_slot, gauss_offset, gauss_count = res
+    pair_attrs, tile_start, final_T, ncon, pair_slot, n_gauss = res
     d_tc, d_tT = cts
     d_means2d, d_conics, d_colors, d_opacities = composite_pallas_grads(
         pair_attrs, tile_start, d_tc, d_tT, final_T, ncon,
-        pair_slot, gauss_offset, gauss_count, tiles_x, tiles_y, chunk,
+        pair_slot, n_gauss, mt, tiles_x, tiles_y, chunk,
     )
 
     def int_ct(x):
@@ -655,7 +690,6 @@ def _composite_vjp_bwd(tiles_x, tiles_y, chunk, res, cts):
     return (
         d_means2d, d_conics, d_colors, d_opacities,
         int_ct(pair_slot), int_ct(pair_slot), int_ct(tile_start),
-        int_ct(gauss_offset), int_ct(gauss_count),
     )
 
 

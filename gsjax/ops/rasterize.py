@@ -52,6 +52,7 @@ class RasterizeSettings:
     backend: str = "auto"  # "auto" | "xla" (scan) | "pallas" (TPU kernel); all differentiable
     pallas_chunk: int = 128  # pairs staged per DMA in the pallas kernel
     exact_depth_sort: bool = False  # full-f32 depth keys (slower 2-key sort)
+    max_tiles_per_gauss: int = 16  # dense pair-grid stride (power of two)
 
     def __post_init__(self):
         if self.max_splats_per_tile % self.chunk:
@@ -101,6 +102,7 @@ def render(
     bins = build_tile_bins(
         splats, tiles_x, tiles_y, settings.max_pairs,
         exact_depth_sort=settings.exact_depth_sort,
+        max_tiles_per_gauss=settings.max_tiles_per_gauss,
     )
     backend = settings.backend
     if backend == "auto":
@@ -113,8 +115,7 @@ def render(
         tile_colors, tile_T = composite_pallas(
             splats.means2d, splats.conics, splats.colors, splats.opacities,
             bins.pair_gauss, bins.pair_slot, bins.tile_start,
-            bins.gauss_offset, bins.gauss_count,
-            tiles_x, tiles_y, settings.pallas_chunk,
+            bins.mt, tiles_x, tiles_y, settings.pallas_chunk,
         )
     else:
         tile_colors, tile_T = composite_tiles(

@@ -75,7 +75,16 @@ def default_rasterize_settings(
     # generous average duplication per gaussian + per-tile depth complexity
     max_pairs = min(1 << 26, max(1 << 18, 2 ** int(np.ceil(np.log2(capacity * 16)))))
     mspt = 2048 if tiles > 1024 else 1024
-    return RasterizeSettings(max_pairs=max_pairs, max_splats_per_tile=mspt, chunk=32)
+    # early scenes hold few, large gaussians (SfM init) — give them a wide
+    # per-gaussian tile cap; at scale footprints shrink (densification
+    # splits + the scale prune) and a narrow cap keeps the dense pair grid
+    # small. capacity growth re-jits, so this tracks training phase.
+    mt = int(min(128, max(16, 2 ** int(np.ceil(np.log2(max(max_pairs // max(capacity, 1), 1)))))))
+    mt = min(mt, 2 ** int(np.ceil(np.log2(tiles))))
+    return RasterizeSettings(
+        max_pairs=max_pairs, max_splats_per_tile=mspt, chunk=32,
+        max_tiles_per_gauss=mt,
+    )
 
 
 @dataclasses.dataclass
