@@ -94,6 +94,30 @@ def main():
     fps_fwd = 1.0 / t_fwd
     fps_fwd_bwd = 1.0 / t_fwd_bwd
 
+    # full train-step throughput (render + L1/SSIM loss + backward + Adam +
+    # densify stats), 5 steps chained into one dispatch
+    from gsjax.configs import OptimizationParams
+    from gsjax.data.cameras import stack_render_cameras
+    from gsjax.train.optim import make_optimizer
+    from gsjax.train.step import TrainConfig, make_train_step_chained
+
+    n_chain = 5
+    images = np.zeros((1, height, width, 3), np.uint8)
+    tx = make_optimizer(OptimizationParams(), 3.0)
+    opt_state = tx.init(state.params)
+    tcfg = TrainConfig(settings=bwd_settings, extent=3.0)
+    chained = make_train_step_chained(
+        tx, stack_render_cameras([cam]), images, tcfg, n_chain
+    )
+    idxs = jnp.zeros(n_chain, jnp.int32)
+    key = jax.random.PRNGKey(0)
+    s1, o1, m = chained(state, opt_state, idxs, key)
+    float(m["loss_mean"])  # compile + sync
+    t0 = time.time()
+    s2, o2, m = chained(s1, o1, idxs, jax.random.fold_in(key, 1))
+    float(m["loss_mean"])
+    t_train = max((time.time() - t0 - rtt) / n_chain, 1e-4)
+
     result = {
         "metric": "1080p frames/s/chip (fwd)",
         "value": round(fps_fwd, 3),
@@ -101,6 +125,7 @@ def main():
         "vs_baseline": round(fps_fwd / 30.0, 4),
         "extra": {
             "fwd_bwd_frames_per_s": round(fps_fwd_bwd, 3),
+            "train_iters_per_s": round(1.0 / t_train, 3),
             "n_gaussians": n_gauss,
             "resolution": f"{width}x{height}",
             "rtt_ms": round(rtt * 1000, 1),

@@ -34,20 +34,38 @@ def _window(window_size: int, sigma: float):
     return np.outer(g, g).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _window_1d(window_size: int, sigma: float):
+    import numpy as np
+
+    x = np.arange(window_size) - window_size // 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    return tuple(float(v) for v in (g / g.sum()))
+
+
+def _blur_axis(x, axis, taps):
+    """Separable 1D Gaussian along ``axis`` as unrolled shift-multiply-adds —
+    an 11-tap depthwise conv with 1-channel groups starves the MXU, while
+    this stays dense VPU work."""
+    k = len(taps)
+    pad = k // 2
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (pad, pad)
+    xp = jnp.pad(x, widths)
+    out = None
+    for i, w in enumerate(taps):
+        sl = lax.slice_in_dim(xp, i, i + x.shape[axis], axis=axis)
+        out = sl * w if out is None else out + sl * w
+    return out
+
+
 def _depthwise_filter(imgs, window_size, sigma):
-    """imgs: (C, H, W) -> Gaussian-filtered (C, H, W), zero ('same') padding."""
-    w2d = jnp.asarray(_window(window_size, sigma))
-    c = imgs.shape[0]
-    kernel = jnp.broadcast_to(w2d, (c, 1, window_size, window_size))
-    pad = window_size // 2
-    return lax.conv_general_dilated(
-        imgs[None],
-        kernel,
-        window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
-        feature_group_count=c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0]
+    """imgs: (C, H, W) -> Gaussian-filtered (C, H, W), zero ('same') padding.
+
+    The reference uses a full 11x11 window (utils/loss_utils.py:23-33); the
+    Gaussian is separable, so two 1D passes are exact."""
+    taps = _window_1d(window_size, sigma)
+    return _blur_axis(_blur_axis(imgs, 1, taps), 2, taps)
 
 
 def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):

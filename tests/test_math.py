@@ -159,3 +159,42 @@ def test_expon_lr_schedule_reference_semantics():
     # delay ramp
     g = expon_lr_schedule(1e-2, 1e-4, lr_delay_steps=100, lr_delay_mult=0.1)
     np.testing.assert_allclose(float(g(0)), 1e-3, rtol=1e-4)
+
+
+def test_ssim_separable_matches_full_window_conv():
+    """The separable shift-add SSIM must equal the reference's full 11x11
+    depthwise convolution formulation (reference utils/loss_utils.py:23-63)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from gsjax.train.loss import ssim, _window
+
+    def dw(imgs, ws=11, sigma=1.5):
+        w2d = jnp.asarray(_window(ws, sigma))
+        c = imgs.shape[0]
+        kernel = jnp.broadcast_to(w2d, (c, 1, ws, ws))
+        pad = ws // 2
+        return lax.conv_general_dilated(
+            imgs[None], kernel, (1, 1), [(pad, pad), (pad, pad)],
+            feature_group_count=c, dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0]
+
+    def ssim_conv(a, b):
+        x = jnp.moveaxis(a, -1, 0)
+        y = jnp.moveaxis(b, -1, 0)
+        s = jnp.concatenate([x, y, x * x, y * y, x * y], 0)
+        f = dw(s)
+        mu1, mu2, exx, eyy, exy = (f[i * 3:(i + 1) * 3] for i in range(5))
+        s1, s2, s12 = exx - mu1 * mu1, eyy - mu2 * mu2, exy - mu1 * mu2
+        c1, c2 = 1e-4, 9e-4
+        return (
+            ((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+            / ((mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))
+        ).mean()
+
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(0, 1, (67, 93, 3)).astype(np.float32))
+    b = jnp.asarray((np.asarray(a) * 0.8 + 0.1).astype(np.float32))
+    np.testing.assert_allclose(
+        float(ssim(a, b)), float(ssim_conv(a, b)), atol=1e-6
+    )

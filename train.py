@@ -42,6 +42,10 @@ def main(argv=None):
                         help="initial gaussian buffer capacity (grows 2x as needed)")
     parser.add_argument("--disable_viewer", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="write a jax.profiler device trace of the first "
+                             "100 iterations to DIR")
+    parser.add_argument("--steps_per_dispatch", type=int, default=25)
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
@@ -69,19 +73,29 @@ def main(argv=None):
 
     from gsjax.train.loop import training
 
-    training(
-        model,
-        opt,
-        pipe,
-        testing_iterations=args.test_iterations,
-        saving_iterations=args.save_iterations,
-        checkpoint_iterations=args.checkpoint_iterations,
-        start_checkpoint=args.start_checkpoint,
-        quiet=args.quiet,
-        capacity=args.capacity,
-        gui_callback=gui_callback,
-        seed=args.seed,
-    )
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        from gsjax.utils.profiling import trace
+
+        profile_ctx = trace(args.profile)
+
+    with profile_ctx:
+        training(
+            model,
+            opt,
+            pipe,
+            testing_iterations=args.test_iterations,
+            saving_iterations=args.save_iterations,
+            checkpoint_iterations=args.checkpoint_iterations,
+            start_checkpoint=args.start_checkpoint,
+            quiet=args.quiet,
+            capacity=args.capacity,
+            gui_callback=gui_callback,
+            seed=args.seed,
+            steps_per_dispatch=args.steps_per_dispatch,
+        )
     print("\nTraining complete.")
 
 
