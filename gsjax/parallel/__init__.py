@@ -20,3 +20,9 @@ __all__ = [
     "make_sharded_train_step",
     "shard_gaussian_state",
 ]
+from gsjax.parallel.multi_scene import (  # noqa: F401
+    make_multi_scene_train_step,
+    make_scene_mesh,
+    stack_scene_states,
+    unstack_scene_state,
+)

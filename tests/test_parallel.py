@@ -117,3 +117,70 @@ def test_data_parallel_batch_averages_gradients(scene):
     # a camera-batched step keeps improving when repeated
     s3, o3, m3 = step(s2, o2, jnp.array([1, 2]), jax.random.PRNGKey(1))
     assert np.isfinite(float(m3["loss"]))
+
+
+def test_multi_scene_parallel_matches_sequential(scene):
+    """Scene-axis training (BASELINE config 5): stepping two scenes in one
+    shard_map program must equal stepping each scene alone."""
+    import dataclasses
+
+    from gsjax.parallel.multi_scene import (
+        make_multi_scene_train_step,
+        make_scene_mesh,
+        stack_scene_states,
+        unstack_scene_state,
+    )
+    from gsjax.train.optim import make_optimizer
+    from gsjax.train.step import TrainConfig, make_train_step
+    from gsjax.configs import OptimizationParams
+    from gsjax.ops.rasterize import RasterizeSettings
+
+    state, cam_list, images = scene
+    extent = 2.0
+    cams = stack_render_cameras(cam_list)
+    # second scene: same cameras, perturbed gaussians + different images
+    p2 = dict(state.params)
+    p2["xyz"] = p2["xyz"] + 0.05
+    state2 = dataclasses.replace(state, params=p2)
+    images2 = np.clip(images.astype(np.float32) * 0.7, 0, 255).astype(images.dtype)
+
+    opt = OptimizationParams()
+    cfg = TrainConfig(
+        settings=RasterizeSettings(max_pairs=1 << 14, max_splats_per_tile=256),
+        extent=extent,
+    )
+    tx = make_optimizer(opt, extent)
+
+    # sequential reference
+    seq_states = []
+    for st, ims in [(state, images), (state2, images2)]:
+        o = tx.init(st.params)
+        step = make_train_step(tx, cams, ims, cfg)
+        ns, _, m = step(st, o, jnp.int32(1), jax.random.PRNGKey(7))
+        seq_states.append((ns, float(m["loss"])))
+
+    # parallel
+    mesh = make_scene_mesh(2, devices=jax.devices()[:2])
+    states = stack_scene_states([state, state2])
+    opt_states = jax.tree.map(
+        lambda *xs: jnp.stack(xs), tx.init(state.params), tx.init(state2.params)
+    )
+    cams2 = jax.tree.map(lambda x: jnp.stack([x, x]), cams)
+    ims2 = np.stack([images, images2])
+    pstep = make_multi_scene_train_step(tx, cams2, ims2, cfg, mesh)
+    keys = jnp.stack([jax.random.PRNGKey(7)] * 2)
+    new_states, _, metrics = pstep(
+        states, opt_states, jnp.array([1, 1], jnp.int32), keys
+    )
+
+    for i in range(2):
+        ref_state, ref_loss = seq_states[i]
+        np.testing.assert_allclose(
+            float(metrics["loss"][i]), ref_loss, rtol=1e-5
+        )
+        got = unstack_scene_state(new_states, i)
+        np.testing.assert_allclose(
+            np.asarray(got.params["xyz"]),
+            np.asarray(ref_state.params["xyz"]),
+            atol=1e-6,
+        )
