@@ -111,6 +111,8 @@ def training(
     gui_callback: Optional[Callable] = None,
     seed: int = 0,
     steps_per_dispatch: int = 25,
+    data_shards: int = 1,
+    gauss_shards: int = 1,
 ):
     """Train a scene end-to-end. Returns (scene, final GaussianState)."""
     random.seed(seed)
@@ -162,8 +164,26 @@ def training(
         )
         print(f"Restored checkpoint at iteration {first_iter}")
 
-    step = make_train_step(tx, cam_batch, images, cfg)
-    n_chain = max(1, int(steps_per_dispatch))
+    mesh = None
+    if data_shards * gauss_shards > 1:
+        from gsjax.parallel import (
+            make_mesh,
+            make_sharded_train_step,
+            shard_gaussian_state,
+        )
+
+        mesh = make_mesh(data=data_shards, gauss=gauss_shards)
+        state = shard_gaussian_state(state, mesh)
+        opt_state = tx.init(state.params)  # moments inherit the sharding
+        print(f"Sharded training on mesh {dict(mesh.shape)}")
+
+    def build_step():
+        if mesh is not None:
+            return make_sharded_train_step(tx, mesh, cam_batch, images, cfg)
+        return make_train_step(tx, cam_batch, images, cfg)
+
+    step = build_step()
+    n_chain = max(1, int(steps_per_dispatch)) if mesh is None else 1
     chained = (
         make_train_step_chained(tx, cam_batch, images, cfg, n_chain)
         if n_chain > 1
@@ -239,10 +259,13 @@ def training(
             loss = float(metrics["loss_mean"])
             n_stepped = n_chain
         else:
-            cam_idx = pop_camera()
-            state, opt_state, metrics = step(
-                state, opt_state, jnp.int32(cam_idx), k
-            )
+            if mesh is not None:
+                cam_idx = jnp.asarray(
+                    [pop_camera() for _ in range(data_shards)], jnp.int32
+                )
+            else:
+                cam_idx = jnp.int32(pop_camera())
+            state, opt_state, metrics = step(state, opt_state, cam_idx, k)
             loss = float(metrics["loss"])
             n_stepped = 1
         dt = time.time() - t0
@@ -300,8 +323,14 @@ def training(
                     )
                     state = grow_capacity(state, new_c)
                     opt_state = grow_opt_state(opt_state, old_c, new_c)
+                    if mesh is not None:
+                        state = shard_gaussian_state(state, mesh)
                     step = None  # drop stale closure before recompile
-                    step = make_train_step(tx, cam_batch, images, cfg)
+                    step = build_step()
+                    if chained is not None:
+                        chained = make_train_step_chained(
+                            tx, cam_batch, images, cfg, n_chain
+                        )
                     densify_step, reset_step = make_densify_step(opt, cfg)
 
             if iteration % opt.opacity_reset_interval == 0 or (

@@ -46,6 +46,10 @@ def main(argv=None):
                         help="write a jax.profiler device trace of the first "
                              "100 iterations to DIR")
     parser.add_argument("--steps_per_dispatch", type=int, default=25)
+    parser.add_argument("--data_shards", type=int, default=1,
+                        help="mesh axis: cameras per step (data parallel)")
+    parser.add_argument("--gauss_shards", type=int, default=1,
+                        help="mesh axis: gaussian/tile-strip sharding")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
@@ -95,6 +99,8 @@ def main(argv=None):
             gui_callback=gui_callback,
             seed=args.seed,
             steps_per_dispatch=args.steps_per_dispatch,
+            data_shards=args.data_shards,
+            gauss_shards=args.gauss_shards,
         )
     print("\nTraining complete.")
 
