@@ -89,12 +89,43 @@ def default_rasterize_settings(
 
 @dataclasses.dataclass
 class TrainerLogs:
+    """jsonl always; TensorBoard when available (the reference guards the
+    import the same way, train.py:25-29)."""
+
     jsonl_path: Optional[str] = None
+    tb_dir: Optional[str] = None
+    _tb: object = None
+
+    def __post_init__(self):
+        if self.tb_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(self.tb_dir)
+            except Exception:
+                print("Tensorboard not available: not logging progress")
 
     def write(self, record: dict):
         if self.jsonl_path:
             with open(self.jsonl_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
+        if self._tb is not None and "iter" in record:
+            it = record["iter"]
+            for k, v in record.items():
+                if isinstance(v, (int, float)) and k != "iter":
+                    self._tb.add_scalar(f"train/{k}", v, it)
+                elif isinstance(v, dict):
+                    for split, m in v.items():
+                        if isinstance(m, dict):
+                            for mk, mv in m.items():
+                                if isinstance(mv, (int, float)):
+                                    self._tb.add_scalar(
+                                        f"{split}/{mk}", mv, it
+                                    )
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
 
 
 def training(
@@ -123,7 +154,10 @@ def training(
         model.model_path = os.path.join("./output", unique)
     os.makedirs(model.model_path, exist_ok=True)
     save_cfg_args(model.model_path, model)
-    logs = TrainerLogs(os.path.join(model.model_path, "train_log.jsonl"))
+    logs = TrainerLogs(
+        os.path.join(model.model_path, "train_log.jsonl"),
+        tb_dir=model.model_path,
+    )
 
     scene = Scene(model, capacity=capacity)
     state = scene.gaussians
@@ -146,6 +180,8 @@ def training(
         white_background=model.white_background,
         random_background=opt.random_background,
         extent=extent,
+        compute_cov3d_python=pipe.compute_cov3D_python,
+        convert_shs_python=pipe.convert_SHs_python,
     )
 
     cam_batch = stack_render_cameras(train_cams)
@@ -348,6 +384,7 @@ def training(
             )
 
     wall = time.time() - t_start
+    logs.close()
     if not quiet:
         print(f"Training complete in {wall:.1f}s", flush=True)
     scene.gaussians = state

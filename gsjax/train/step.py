@@ -49,6 +49,11 @@ class TrainConfig:
     white_background: bool = False
     random_background: bool = False
     extent: float = 1.0  # scene radius (cameras_extent)
+    # the reference's dual-path toggles (PipelineParams; reference
+    # gaussian_renderer/__init__.py:62-80): pre-compute covariance / SH->RGB
+    # outside the rasterizer instead of inside its preprocess
+    compute_cov3d_python: bool = False
+    convert_shs_python: bool = False
 
 
 def _activated_from(params):
@@ -116,6 +121,21 @@ def _train_step_body(
 
     def loss_fn(params, offset):
         means3d, scales, quats, opac, shs = _activated_from(params)
+        cov3d = colors = None
+        if cfg.compute_cov3d_python:
+            from gsjax.utils.math import build_covariance, strip_symmetric
+
+            cov3d = strip_symmetric(build_covariance(scales, quats, 1.0))
+        if cfg.convert_shs_python:
+            from gsjax.utils.sh import eval_sh
+
+            dirs = means3d - camera.camera_center[None, :]
+            dirs = dirs / jnp.maximum(
+                jnp.linalg.norm(dirs, axis=1, keepdims=True), 1e-12
+            )
+            colors = jnp.maximum(
+                eval_sh(shs, dirs, state.active_sh_degree) + 0.5, 0.0
+            )
         out = render(
             camera,
             means3d,
@@ -128,6 +148,8 @@ def _train_step_body(
             cfg.settings,
             active_mask=state.active,
             means2d_offset=offset,
+            cov3d_precomp=cov3d,
+            colors_precomp=colors,
         )
         img = out["render"]
         ll1 = l1_loss(img, gt)
