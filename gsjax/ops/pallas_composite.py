@@ -83,28 +83,6 @@ def pack_pair_attrs(pair_gauss, means2d, conics, colors, opacities,
     return pair.reshape(n_chunks, chunk, 16).transpose(0, 2, 1)
 
 
-def _lane_cumprod(x, width):
-    """Inclusive cumulative product along axis 1 (width lanes, power of 2)."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < width:
-        shifted = pltpu.roll(x, s, 1)
-        x = x * jnp.where(lanes >= s, shifted, 1.0)
-        s *= 2
-    return x
-
-
-def _lane_cumor(x, width):
-    """Inclusive cumulative OR (as int32 max) along axis 1."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < width:
-        shifted = pltpu.roll(x, s, 1)
-        x = jnp.maximum(x, jnp.where(lanes >= s, shifted, 0))
-        s *= 2
-    return x
-
-
 def _composite_kernel(
     # scalar prefetch
     tile_start_ref,
@@ -281,28 +259,6 @@ def composite_tiles_pallas(
     tile_T = out[:, :, 3]
     ncontrib = out[:, :, 4].astype(jnp.int32)
     return tile_colors, tile_T, ncontrib
-
-
-def _lane_rev_cumprod(x, width):
-    """Inclusive *reverse* cumulative product along axis 1: out_i = prod_{j>=i}."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < width:
-        shifted = pltpu.roll(x, width - s, 1)  # roll left by s
-        x = x * jnp.where(lanes < width - s, shifted, 1.0)
-        s *= 2
-    return x
-
-
-def _lane_rev_cumsum(x, width):
-    """Inclusive reverse cumulative sum along axis 1: out_i = sum_{j>=i}."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < width:
-        shifted = pltpu.roll(x, width - s, 1)
-        x = x + jnp.where(lanes < width - s, shifted, 0.0)
-        s *= 2
-    return x
 
 
 def _composite_bwd_kernel(

@@ -229,3 +229,13 @@ def render_naive(
         "final_T": final_T.reshape(h, w),
         "num_dropped": jnp.int32(0),
     }
+
+
+def mark_visible(means3d, camera: RenderCamera, near: float = 0.2):
+    """Frustum visibility of 3D points — the rasterizer's ``markVisible``
+    API (diff-gaussian-rasterization exposes it for external culling;
+    SURVEY.md §2.2 N1). Returns (N,) bool."""
+    from gsjax.ops.projection import project_points
+
+    depth, _ = project_points(jnp.asarray(means3d, jnp.float32), camera)
+    return depth > near
