@@ -309,14 +309,15 @@ def training(
         iteration += n_stepped - 1
         ema_loss = 0.4 * loss + 0.6 * ema_loss
 
-        if not quiet and iteration % 100 == 0:
+        if iteration % 100 == 0:
             n_act = int(metrics["num_active"])
             rate = 100 / sum(it_times[-100:])
-            print(
-                f"[ITER {iteration}] loss {ema_loss:.5f} | gaussians {n_act} | "
-                f"{rate:.2f} it/s",
-                flush=True,
-            )
+            if not quiet:
+                print(
+                    f"[ITER {iteration}] loss {ema_loss:.5f} | gaussians {n_act} | "
+                    f"{rate:.2f} it/s",
+                    flush=True,
+                )
             logs.write(
                 {
                     "iter": iteration,
