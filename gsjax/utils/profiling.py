@@ -127,3 +127,60 @@ def phase_timings(
         "forward_backward_ms": t_grad * 1e3,
         "rtt_ms": rtt * 1e3,
     }
+
+
+def roofline_report(
+    means3d, scales, quats, opacities, shs, camera, settings,
+    active_mask=None, peak_vpu_gflops: float = 7_000.0,
+    peak_hbm_gbps: float = 819.0,
+):
+    """Rough roofline estimate for the compositing kernel (BASELINE.md:
+    "rasterizer fwd+bwd >= 70% of roofline per chip").
+
+    Counts the actual pair-pixel work from the frame's binning statistics
+    and compares achieved throughput against VPU-compute and HBM-bandwidth
+    ceilings (v5e defaults).
+    """
+    import numpy as np
+
+    from gsjax.ops.binning import build_tile_bins
+    from gsjax.ops.projection import num_tiles, preprocess
+
+    tiles_x, tiles_y = num_tiles(camera.width, camera.height)
+
+    @jax.jit
+    def frame_stats():
+        splats = preprocess(
+            means3d, scales, quats, opacities, shs, camera, 3,
+            active_mask=active_mask,
+        )
+        bins = build_tile_bins(
+            splats, tiles_x, tiles_y, settings.max_pairs,
+            max_tiles_per_gauss=settings.max_tiles_per_gauss,
+        )
+        return bins.tile_start, bins.num_pairs
+
+    tile_start, num_pairs = jax.device_get(frame_stats())
+    counts = np.diff(np.asarray(tile_start))
+    chunk = settings.pallas_chunk
+    # every started chunk processes a full (256, chunk) block
+    chunks = np.ceil(counts / chunk).sum()
+    pair_pixels = chunks * chunk * 256
+    flops_per_pp = 40  # alpha, log-space prefix terms, color accumulation
+    phases = phase_timings(
+        means3d, scales, quats, opacities, shs, camera, settings,
+        active_mask=active_mask,
+    )
+    t_comp = phases["composite_ms"] / 1e3
+    flops = pair_pixels * flops_per_pp
+    hbm_bytes = float(num_pairs) * 64 * 2  # pack write + kernel read
+    achieved = flops / max(t_comp, 1e-9) / 1e9
+    return {
+        **phases,
+        "pairs": int(num_pairs),
+        "pair_pixels": float(pair_pixels),
+        "compute_gflops_achieved": achieved,
+        "compute_roofline_frac": achieved / peak_vpu_gflops,
+        "hbm_gbps_achieved": hbm_bytes / max(t_comp, 1e-9) / 1e9,
+        "hbm_roofline_frac": hbm_bytes / max(t_comp, 1e-9) / 1e9 / peak_hbm_gbps,
+    }
