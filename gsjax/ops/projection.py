@@ -19,7 +19,12 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 
 from gsjax.data.cameras import RenderCamera
-from gsjax.utils.math import build_covariance, strip_symmetric, unstrip_symmetric
+from gsjax.utils.math import (
+    build_covariance,
+    covariance6,
+    strip_symmetric,
+    unstrip_symmetric,
+)
 from gsjax.utils.sh import eval_sh
 
 TILE = 16
@@ -62,7 +67,12 @@ def project_points(means3d, camera: RenderCamera):
 
 def ewa_project(means3d, cov3d_flat, camera: RenderCamera):
     """EWA: 3D covariance -> 2D screen covariance (upper-left 2x2 of
-    J W Sigma W^T J^T) with the +0.3 low-pass. Returns (N, 3) [xx, xy, yy]."""
+    J W Sigma W^T J^T) with the +0.3 low-pass. Returns (N, 3) [xx, xy, yy].
+
+    Written in scalar channels (no (N, 3, 3) batched matmuls, which lower
+    poorly on TPU): M = J @ W has rows m0 = fx/tz * W0 - fx tx/tz^2 * W2
+    and m1 = fy/tz * W1 - fy ty/tz^2 * W2, and cov2d = M Sigma M^T expands
+    over the six symmetric Sigma entries."""
     W = camera.world_view[:3, :3]
     ones = jnp.ones_like(means3d[:, :1])
     t = (jnp.concatenate([means3d, ones], axis=1) @ camera.world_view.T)[:, :3]
@@ -74,26 +84,32 @@ def ewa_project(means3d, cov3d_flat, camera: RenderCamera):
     lim_y = 1.3 * camera.tan_fov_y
     tx = jnp.clip(t[:, 0] / tz, -lim_x, lim_x) * tz
     ty = jnp.clip(t[:, 1] / tz, -lim_y, lim_y) * tz
-    fx = camera.focal_x
-    fy = camera.focal_y
     inv_z = 1.0 / tz
-    inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    # J: (N, 2, 3) Jacobian of perspective projection at the clamped point
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], axis=1),
-            jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=1),
-        ],
-        axis=1,
-    )
-    M = J @ W  # (N, 2, 3)
-    Sigma = unstrip_symmetric(cov3d_flat)  # (N, 3, 3)
-    cov2d = M @ Sigma @ jnp.swapaxes(M, 1, 2)  # (N, 2, 2)
-    return jnp.stack(
-        [cov2d[:, 0, 0] + LOW_PASS, cov2d[:, 0, 1], cov2d[:, 1, 1] + LOW_PASS],
-        axis=1,
-    )
+    a = camera.focal_x * inv_z  # (N,)
+    b = camera.focal_y * inv_z
+    c = -camera.focal_x * tx * inv_z * inv_z
+    d = -camera.focal_y * ty * inv_z * inv_z
+
+    # m0 = a * W[0] + c * W[2], m1 = b * W[1] + d * W[2]  (per-gaussian rows)
+    m0 = [a * W[0, k] + c * W[2, k] for k in range(3)]
+    m1 = [b * W[1, k] + d * W[2, k] for k in range(3)]
+
+    sxx, sxy, sxz = cov3d_flat[:, 0], cov3d_flat[:, 1], cov3d_flat[:, 2]
+    syy, syz, szz = cov3d_flat[:, 3], cov3d_flat[:, 4], cov3d_flat[:, 5]
+
+    def sig_dot(v):  # Sigma @ v, v a list of 3 (N,) arrays
+        return (
+            sxx * v[0] + sxy * v[1] + sxz * v[2],
+            sxy * v[0] + syy * v[1] + syz * v[2],
+            sxz * v[0] + syz * v[1] + szz * v[2],
+        )
+
+    s0 = sig_dot(m0)
+    s1 = sig_dot(m1)
+    cov00 = m0[0] * s0[0] + m0[1] * s0[1] + m0[2] * s0[2]
+    cov01 = m0[0] * s1[0] + m0[1] * s1[1] + m0[2] * s1[2]
+    cov11 = m1[0] * s1[0] + m1[1] * s1[1] + m1[2] * s1[2]
+    return jnp.stack([cov00 + LOW_PASS, cov01, cov11 + LOW_PASS], axis=1)
 
 
 def preprocess(
@@ -126,7 +142,7 @@ def preprocess(
         means2d = means2d + means2d_offset
 
     if cov3d_precomp is None:
-        cov3d_flat = strip_symmetric(build_covariance(scales, quats, scale_modifier))
+        cov3d_flat = covariance6(scales, quats, scale_modifier)
     else:
         cov3d_flat = cov3d_precomp
     cov2d = ewa_project(means3d, cov3d_flat, camera)

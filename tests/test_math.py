@@ -198,3 +198,18 @@ def test_ssim_separable_matches_full_window_conv():
     np.testing.assert_allclose(
         float(ssim(a, b)), float(ssim_conv(a, b)), atol=1e-6
     )
+
+
+def test_covariance6_matches_matrix_form():
+    """The scalar-channel covariance must equal strip(L @ L^T) exactly."""
+    import jax.numpy as jnp
+
+    from gsjax.utils.math import build_covariance, covariance6, strip_symmetric
+
+    rng = np.random.default_rng(3)
+    scale = jnp.asarray(np.exp(rng.normal(-1, 0.5, (500, 3))))
+    quat = jnp.asarray(rng.normal(size=(500, 4)))
+    for mod in (1.0, 0.7):
+        want = strip_symmetric(build_covariance(scale, quat, mod))
+        got = covariance6(scale, quat, mod)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
