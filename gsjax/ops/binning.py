@@ -41,6 +41,7 @@ class TileBins(NamedTuple):
     tile_start: jnp.ndarray  # (T + 1,) int32 range starts into sorted pairs
     num_pairs: jnp.ndarray  # () int32 valid pairs after caps
     num_dropped: jnp.ndarray  # () int32 pairs lost to MT / budget caps
+    gauss_count: jnp.ndarray  # (N,) int32 expanded pairs per gaussian
     mt: int  # static: max tiles per gaussian (slot stride)
 
 
@@ -118,5 +119,6 @@ def build_tile_bins(
         tile_start=tile_start,
         num_pairs=num_pairs,
         num_dropped=num_dropped,
+        gauss_count=counts,
         mt=mt,
     )

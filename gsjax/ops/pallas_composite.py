@@ -443,7 +443,7 @@ def composite_pallas_grads(
     final_T,  # (T, PIX)
     ncontrib,  # (T, PIX) int32 (local indices)
     pair_slot,  # (P,) dense (g * mt + j) slot per sorted pair
-    n_gauss: int,
+    gauss_count,  # (N,) expanded pairs per gaussian (pre-budget)
     mt: int,
     tiles_x: int,
     tiles_y: int,
@@ -531,6 +531,7 @@ def composite_pallas_grads(
     num_valid = tile_start[num_t]
     padded_pos = jnp.where(i_arr < num_valid, i_arr + shift_fill, p_pad - 1)
 
+    n_gauss = gauss_count.shape[0]
     big = jnp.int32(2**31 - 1)
     slot_key = jnp.where(i_arr < num_valid, pair_slot, big)
     slot_sorted, perm = jax.lax.sort(
@@ -540,19 +541,32 @@ def composite_pallas_grads(
 
     csum = _blocked_cumsum_rows(grads_slot)  # inclusive (P, 16)
     csum = jnp.concatenate([jnp.zeros((1, ATTR_W), jnp.float32), csum], axis=0)
-    # first slot-sorted position of each gaussian (g_sorted is nondecreasing)
-    g_sorted = jnp.minimum(slot_sorted // mt, n_gauss)
-    lo = (
-        jnp.full(n_gauss + 1, max_pairs, jnp.int32)
-        .at[g_sorted]
-        .min(i_arr, mode="drop")
-    )
-    lo = jnp.flip(jax.lax.cummin(jnp.flip(lo)))
+
+    # per-gaussian segment boundaries in slot-sorted order. Common case
+    # (no pairs lost to the budget): every gaussian keeps its gauss_count
+    # pairs and boundaries are a plain cumulative sum. Overflow case: find
+    # first occurrences with a scatter-min (~20x slower; overflow is an
+    # error condition the trainer sizes budgets against).
+    total = jnp.sum(gauss_count)
+
+    def fast_lo(_):
+        cs = jnp.cumsum(gauss_count).astype(jnp.int32)
+        return jnp.concatenate([jnp.zeros(1, jnp.int32), cs])
+
+    def slow_lo(_):
+        g_sorted = jnp.minimum(slot_sorted // mt, n_gauss)
+        lo = (
+            jnp.full(n_gauss + 1, max_pairs, jnp.int32)
+            .at[g_sorted]
+            .min(i_arr, mode="drop")
+        )
+        return jnp.flip(jax.lax.cummin(jnp.flip(lo)))
+
+    lo = jax.lax.cond(num_valid == total, fast_lo, slow_lo, None)
     hi = jnp.concatenate([lo[1:], jnp.full((1,), max_pairs, jnp.int32)])
     # valid pairs are a prefix of the slot-sorted order
-    cut = jnp.sum((slot_sorted < big).astype(jnp.int32))
-    lo = jnp.minimum(lo, cut)
-    hi = jnp.minimum(hi, cut)
+    lo = jnp.minimum(lo, num_valid)
+    hi = jnp.minimum(hi, num_valid)
     per_gauss = csum[hi[:n_gauss]] - csum[lo[:n_gauss]]  # (N, 16)
 
     d_means2d = per_gauss[:, 0:2]
@@ -584,6 +598,7 @@ def composite_pallas(
     pair_gauss,
     pair_slot,
     tile_start,
+    gauss_count,
     mt: int,
     tiles_x: int,
     tiles_y: int,
@@ -598,14 +613,14 @@ def composite_pallas(
     """
     return _composite_vjp(
         means2d, conics, colors, opacities, pair_gauss, pair_slot,
-        tile_start, mt, tiles_x, tiles_y, chunk,
+        tile_start, gauss_count, mt, tiles_x, tiles_y, chunk,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def _composite_vjp(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
-    tile_start, mt, tiles_x, tiles_y, chunk,
+    tile_start, gauss_count, mt, tiles_x, tiles_y, chunk,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk
@@ -618,7 +633,7 @@ def _composite_vjp(
 
 def _composite_vjp_fwd(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
-    tile_start, mt, tiles_x, tiles_y, chunk,
+    tile_start, gauss_count, mt, tiles_x, tiles_y, chunk,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk
@@ -626,18 +641,18 @@ def _composite_vjp_fwd(
     tc, tT, ncon = composite_tiles_pallas(
         pair_attrs, tile_start, tiles_x, tiles_y, chunk
     )
-    res = (pair_attrs, tile_start, tT, ncon, pair_slot, means2d.shape[0])
+    res = (pair_attrs, tile_start, tT, ncon, pair_slot, gauss_count)
     return (tc, tT), res
 
 
 def _composite_vjp_bwd(mt, tiles_x, tiles_y, chunk, res, cts):
     import numpy as np
 
-    pair_attrs, tile_start, final_T, ncon, pair_slot, n_gauss = res
+    pair_attrs, tile_start, final_T, ncon, pair_slot, gauss_count = res
     d_tc, d_tT = cts
     d_means2d, d_conics, d_colors, d_opacities = composite_pallas_grads(
         pair_attrs, tile_start, d_tc, d_tT, final_T, ncon,
-        pair_slot, n_gauss, mt, tiles_x, tiles_y, chunk,
+        pair_slot, gauss_count, mt, tiles_x, tiles_y, chunk,
     )
 
     def int_ct(x):
@@ -646,6 +661,7 @@ def _composite_vjp_bwd(mt, tiles_x, tiles_y, chunk, res, cts):
     return (
         d_means2d, d_conics, d_colors, d_opacities,
         int_ct(pair_slot), int_ct(pair_slot), int_ct(tile_start),
+        int_ct(gauss_count),
     )
 
 

@@ -114,7 +114,7 @@ def render(
 
         tile_colors, tile_T = composite_pallas(
             splats.means2d, splats.conics, splats.colors, splats.opacities,
-            bins.pair_gauss, bins.pair_slot, bins.tile_start,
+            bins.pair_gauss, bins.pair_slot, bins.tile_start, bins.gauss_count,
             bins.mt, tiles_x, tiles_y, settings.pallas_chunk,
         )
     else:
