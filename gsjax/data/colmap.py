@@ -166,16 +166,29 @@ def read_cameras_text(path) -> Dict[int, ColmapCamera]:
 
 
 def read_images_text(path) -> Dict[int, ColmapImage]:
+    """Every record is a header line + a POINTS2D line; the second line is
+    *empty* for images with no observations, so records cannot be paired
+    after blank-line stripping — iterate raw lines instead."""
     images = {}
-    lines = list(_data_lines(path))
-    for i in range(0, len(lines), 2):  # every image record is 2 lines
-        parts = lines[i].split()
-        image_id = int(parts[0])
-        qvec = np.array([float(p) for p in parts[1:5]])
-        tvec = np.array([float(p) for p in parts[5:8]])
-        camera_id = int(parts[8])
-        name = " ".join(parts[9:])
-        images[image_id] = ColmapImage(image_id, qvec, tvec, camera_id, name)
+    expect_points = False
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("#"):
+                continue
+            if expect_points:  # skip the POINTS2D line (possibly empty)
+                expect_points = False
+                continue
+            if not line:
+                continue
+            parts = line.split()
+            image_id = int(parts[0])
+            qvec = np.array([float(p) for p in parts[1:5]])
+            tvec = np.array([float(p) for p in parts[5:8]])
+            camera_id = int(parts[8])
+            name = " ".join(parts[9:])
+            images[image_id] = ColmapImage(image_id, qvec, tvec, camera_id, name)
+            expect_points = True
     return images
 
 

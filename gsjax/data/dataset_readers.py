@@ -101,6 +101,23 @@ def _resize(img, size):
     return np.asarray(pil.resize((w, h)), dtype=np.float32) / 255.0
 
 
+def _load_images_parallel(cams, paths, workers: int = 16):
+    """Decode camera images with a thread pool (PIL releases the GIL while
+    decoding; the reference opens every image serially at scene load,
+    dataset_readers.py:68-105)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_one(args):
+        cam, pth = args
+        image, alpha = _load_image(pth)
+        if (alpha == 1.0).all():
+            alpha = None
+        cam.image, cam.alpha_mask = image, alpha
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(load_one, zip(cams, paths)))
+
+
 def load_camera_images(cameras, resolution=-1, resolution_scale=1.0):
     """Apply the resolution policy in place; returns the cameras."""
     for cam in cameras:
@@ -150,10 +167,6 @@ def read_colmap_scene(
             )
         image_name = os.path.basename(im.name).split(".")[0]
         image = alpha = None
-        if load_images:
-            image, alpha = _load_image(os.path.join(path, images_dir, im.name))
-            if (alpha == 1.0).all():
-                alpha = None
         cams.append(
             Camera(
                 uid=im.id,
@@ -167,6 +180,10 @@ def read_colmap_scene(
                 image=image,
                 alpha_mask=alpha,
             )
+        )
+    if load_images:
+        _load_images_parallel(
+            cams, [os.path.join(path, images_dir, im.name) for im in extr.values()]
         )
     cams.sort(key=lambda c: c.image_name)
 
