@@ -16,3 +16,40 @@ def search_for_max_iteration(folder):
         if name.startswith("iteration_")
     ]
     return max(iters) if iters else None
+
+
+def safe_state(quiet: bool = False, seed: int = 0):
+    """Reference ``safe_state`` parity (utils/general_utils.py:112-133):
+    wrap stdout so every line ends with a timestamp, silence under
+    ``--quiet``, and seed python/numpy (JAX keys are explicit; the device
+    is whatever JAX selected rather than a pinned cuda:0)."""
+    import builtins
+    import random
+    import sys
+    from datetime import datetime
+
+    import numpy as np
+
+    old_f = sys.stdout
+
+    class F:
+        def write(self, x):
+            if not quiet:
+                if x.endswith("\n"):
+                    old_f.write(
+                        x.replace(
+                            "\n",
+                            " [{}]\n".format(
+                                datetime.now().strftime("%d/%m %H:%M:%S")
+                            ),
+                        )
+                    )
+                else:
+                    old_f.write(x)
+
+        def flush(self):
+            old_f.flush()
+
+    sys.stdout = F()
+    random.seed(seed)
+    np.random.seed(seed)
