@@ -62,3 +62,35 @@ def test_cfg_args_roundtrip(trained_model):
     cfg = load_cfg_args(trained_model)
     assert cfg["sh_degree"] == 3
     assert cfg["white_background"] is False
+
+
+def test_convert_cli_requires_colmap(tmp_path, monkeypatch, capsys):
+    """convert.py exits with a clear message when colmap is missing."""
+    import shutil
+
+    import convert
+
+    monkeypatch.setattr(shutil, "which", lambda _: None)
+    with pytest.raises(SystemExit) as e:
+        convert.main(["-s", str(tmp_path)])
+    assert e.value.code == 1
+    assert "colmap" in capsys.readouterr().out.lower()
+
+
+def test_metrics_cli_survives_missing_model(tmp_path, capsys):
+    import metrics
+
+    results = metrics.evaluate([str(tmp_path / "nonexistent")])
+    assert results == {}
+    assert "Unable to compute metrics" in capsys.readouterr().out
+
+
+def test_scene_rejects_unknown_source(tmp_path):
+    from gsjax.configs import ModelParams
+    from gsjax.train.scene import Scene
+
+    model = ModelParams(
+        source_path=str(tmp_path), model_path=str(tmp_path / "out")
+    )
+    with pytest.raises(Exception):
+        Scene(model)
