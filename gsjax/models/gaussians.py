@@ -65,10 +65,10 @@ def activated_params(p: Params):
     """Post-activation attributes from a raw parameter dict:
     (means3d, scales, quats, opacities, shs). Activations per
     reference scene/gaussian_model.py:33-41."""
+    from gsjax.utils.math import safe_normalize
+
     scales = jnp.exp(p["scaling"])
-    quats = p["rotation"] / jnp.maximum(
-        jnp.linalg.norm(p["rotation"], axis=-1, keepdims=True), 1e-12
-    )
+    quats = safe_normalize(p["rotation"])
     opacities = jax.nn.sigmoid(p["opacity"][:, 0])
     shs = jnp.concatenate([p["features_dc"], p["features_rest"]], axis=1)
     return p["xyz"], scales, quats, opacities, shs

@@ -273,7 +273,7 @@ def _composite_bwd_kernel(
     grads_hbm,  # (P_pad // chunk, 16, chunk) HBM — per-pair grad blocks
     # scratch
     buf,  # (2, ATTR_W, chunk) f32 VMEM — input double buffer
-    obuf,  # (2, ATTR_W, chunk) f32 VMEM — output double buffer
+    obuf,  # (2, ATTR_W, chunk) VMEM — output double buffer (grad dtype)
     sems,  # (2,) input DMA semaphores
     osems,  # (2,) output DMA semaphores
     *,
@@ -399,7 +399,7 @@ def _composite_bwd_kernel(
             [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_g, g_b]
             + [zero_row] * (ATTR_W - 9),
             axis=0,
-        )
+        ).astype(obuf.dtype)
         out_dma(slot, ci).start()
 
         # lane reductions keep (PIX, 1) carries lane-replicated
@@ -449,6 +449,7 @@ def composite_pallas_grads(
     tiles_y: int,
     chunk: int = CHUNK,
     interpret: bool | None = None,
+    grad_dtype=jnp.float32,
 ):
     """Backward pass: per-pair gradient kernel + deterministic segmented
     reduction to per-gaussian cotangents.
@@ -496,16 +497,16 @@ def composite_pallas_grads(
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_W, chunk), jnp.float32),
-            pltpu.VMEM((2, ATTR_W, chunk), jnp.float32),
+            pltpu.VMEM((2, ATTR_W, chunk), grad_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    zeros_out = jnp.zeros((p_pad // chunk, ATTR_W, chunk), jnp.float32)
+    zeros_out = jnp.zeros((p_pad // chunk, ATTR_W, chunk), grad_dtype)
     grads_padded = pl.pallas_call(
         functools.partial(_composite_bwd_kernel, chunk=chunk, tiles_x=tiles_x),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((p_pad // chunk, ATTR_W, chunk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((p_pad // chunk, ATTR_W, chunk), grad_dtype),
         input_output_aliases={4: 0},  # zeros input (after 2 prefetch + 2 inputs) -> output
         interpret=interpret,
     )(tile_start, padded_start, pair_attrs, io8, zeros_out)
@@ -538,6 +539,7 @@ def composite_pallas_grads(
         (slot_key, padded_pos), num_keys=1, is_stable=True
     )
     grads_slot = grads_rows[perm]  # (P, 16) one natural-layout row gather
+    grads_slot = grads_slot.astype(jnp.float32)  # accumulate in f32
 
     csum = _blocked_cumsum_rows(grads_slot)  # inclusive (P, 16)
     csum = jnp.concatenate([jnp.zeros((1, ATTR_W), jnp.float32), csum], axis=0)
@@ -603,6 +605,7 @@ def composite_pallas(
     tiles_x: int,
     tiles_y: int,
     chunk: int = CHUNK,
+    grad_dtype: str = "float32",
 ):
     """Differentiable Pallas compositing: custom VJP pairing the forward
     tile kernel with the back-to-front replay kernel (the JAX equivalent of
@@ -613,14 +616,14 @@ def composite_pallas(
     """
     return _composite_vjp(
         means2d, conics, colors, opacities, pair_gauss, pair_slot,
-        tile_start, gauss_count, mt, tiles_x, tiles_y, chunk,
+        tile_start, gauss_count, mt, tiles_x, tiles_y, chunk, grad_dtype,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _composite_vjp(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
-    tile_start, gauss_count, mt, tiles_x, tiles_y, chunk,
+    tile_start, gauss_count, mt, tiles_x, tiles_y, chunk, grad_dtype,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk
@@ -633,7 +636,7 @@ def _composite_vjp(
 
 def _composite_vjp_fwd(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
-    tile_start, gauss_count, mt, tiles_x, tiles_y, chunk,
+    tile_start, gauss_count, mt, tiles_x, tiles_y, chunk, grad_dtype,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk
@@ -645,7 +648,7 @@ def _composite_vjp_fwd(
     return (tc, tT), res
 
 
-def _composite_vjp_bwd(mt, tiles_x, tiles_y, chunk, res, cts):
+def _composite_vjp_bwd(mt, tiles_x, tiles_y, chunk, grad_dtype, res, cts):
     import numpy as np
 
     pair_attrs, tile_start, final_T, ncon, pair_slot, gauss_count = res
@@ -653,6 +656,7 @@ def _composite_vjp_bwd(mt, tiles_x, tiles_y, chunk, res, cts):
     d_means2d, d_conics, d_colors, d_opacities = composite_pallas_grads(
         pair_attrs, tile_start, d_tc, d_tT, final_T, ncon,
         pair_slot, gauss_count, mt, tiles_x, tiles_y, chunk,
+        grad_dtype=jnp.dtype(grad_dtype).type,
     )
 
     def int_ct(x):

@@ -22,6 +22,7 @@ from gsjax.data.cameras import RenderCamera
 from gsjax.utils.math import (
     build_covariance,
     covariance6,
+    safe_normalize,
     strip_symmetric,
     unstrip_symmetric,
 )
@@ -186,8 +187,7 @@ def preprocess(
     radii = jnp.where(valid, radii_f, 0.0).astype(jnp.int32)
 
     if colors_precomp is None:
-        dirs = means3d - camera.camera_center[None, :]
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=1, keepdims=True), 1e-12)
+        dirs = safe_normalize(means3d - camera.camera_center[None, :])
         colors = jnp.maximum(eval_sh(shs, dirs, sh_degree) + 0.5, 0.0)
     else:
         colors = colors_precomp

@@ -53,6 +53,7 @@ class RasterizeSettings:
     pallas_chunk: int = 128  # pairs staged per DMA in the pallas kernel
     exact_depth_sort: bool = False  # full-f32 depth keys (slower 2-key sort)
     max_tiles_per_gauss: int = 16  # dense pair-grid stride (power of two)
+    grad_dtype: str = "float32"  # "bfloat16" halves backward-reduction traffic
 
     def __post_init__(self):
         if self.max_splats_per_tile % self.chunk:
@@ -116,6 +117,7 @@ def render(
             splats.means2d, splats.conics, splats.colors, splats.opacities,
             bins.pair_gauss, bins.pair_slot, bins.tile_start, bins.gauss_count,
             bins.mt, tiles_x, tiles_y, settings.pallas_chunk,
+            grad_dtype=settings.grad_dtype,
         )
     else:
         tile_colors, tile_T = composite_tiles(

@@ -57,10 +57,10 @@ class TrainConfig:
 
 
 def _activated_from(params):
+    from gsjax.utils.math import safe_normalize
+
     scales = jnp.exp(params["scaling"])
-    quats = params["rotation"] / jnp.maximum(
-        jnp.linalg.norm(params["rotation"], axis=-1, keepdims=True), 1e-12
-    )
+    quats = safe_normalize(params["rotation"])
     opac = jax.nn.sigmoid(params["opacity"][:, 0])
     shs = jnp.concatenate([params["features_dc"], params["features_rest"]], axis=1)
     return params["xyz"], scales, quats, opac, shs
@@ -129,10 +129,9 @@ def _train_step_body(
         if cfg.convert_shs_python:
             from gsjax.utils.sh import eval_sh
 
-            dirs = means3d - camera.camera_center[None, :]
-            dirs = dirs / jnp.maximum(
-                jnp.linalg.norm(dirs, axis=1, keepdims=True), 1e-12
-            )
+            from gsjax.utils.math import safe_normalize
+
+            dirs = safe_normalize(means3d - camera.camera_center[None, :])
             colors = jnp.maximum(
                 eval_sh(shs, dirs, state.active_sh_degree) + 0.5, 0.0
             )

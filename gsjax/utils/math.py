@@ -14,6 +14,7 @@ where noted, and safe to ``vmap`` / ``jit`` / differentiate.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -22,12 +23,23 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1.0 - x))
 
 
+def safe_normalize(x, axis=-1, eps=1e-12):
+    """L2-normalize with a VJP that stays finite at x = 0.
+
+    ``x / max(|x|, eps)`` back-propagates NaN at exactly zero (the max picks
+    the eps branch, but 0 * d|x|/dx = 0 * (x/|x|) = 0 * NaN); padding slots
+    in the fixed-capacity buffers hold zeros, so this form matters.
+    """
+    n2 = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(n2 + eps * eps)
+
+
 def quat_to_rotmat(q):
     """Unit-normalize quaternion(s) ``(..., 4)`` in (w,x,y,z) order -> (..., 3, 3).
 
     Matches reference build_rotation (utils/general_utils.py:78-99).
     """
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    q = safe_normalize(q)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     r0 = jnp.stack(
         [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], axis=-1
@@ -94,7 +106,7 @@ def covariance6(scale, quat, scale_modifier=1.0):
     scalar channels: XLA lowers batched (N, 3, 3) matmul chains poorly on
     TPU (measured ~6x slower than the fused elementwise form at N = 1M).
     """
-    q = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    q = safe_normalize(quat)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     r00 = 1 - 2 * (y * y + z * z)
     r01 = 2 * (x * y - w * z)
