@@ -229,3 +229,28 @@ def test_pallas_backend_matches_xla_gradients():
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4, err_msg=name
         )
+
+
+def test_precomputed_paths_match_internal():
+    """--compute_cov3D_python / --convert_SHs_python parity: feeding
+    externally precomputed covariance / colors must reproduce the internal
+    preprocess exactly (the reference's dual-path oracle, SURVEY.md §4)."""
+    from gsjax.utils.math import covariance6, safe_normalize
+    from gsjax.utils.sh import eval_sh
+
+    cam, gs = scene()
+    means, scales, quats, ops, shs = gs
+    base = render(cam, *gs, 3, BG, SETTINGS)
+
+    cov3d = covariance6(scales, quats, 1.0)
+    out_cov = render(cam, *gs, 3, BG, SETTINGS, cov3d_precomp=cov3d)
+    np.testing.assert_array_equal(
+        np.asarray(base["render"]), np.asarray(out_cov["render"])
+    )
+
+    dirs = safe_normalize(means - cam.camera_center[None, :])
+    colors = jnp.maximum(eval_sh(shs, dirs, 3) + 0.5, 0.0)
+    out_col = render(cam, *gs, 3, BG, SETTINGS, colors_precomp=colors)
+    np.testing.assert_array_equal(
+        np.asarray(base["render"]), np.asarray(out_col["render"])
+    )
