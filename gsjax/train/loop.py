@@ -72,8 +72,10 @@ def default_rasterize_settings(
 ) -> RasterizeSettings:
     """Heuristic static budgets scaled to the scene/render size."""
     tiles = -(-width // 16) * -(-height // 16)
-    # generous average duplication per gaussian + per-tile depth complexity
-    max_pairs = min(1 << 26, max(1 << 18, 2 ** int(np.ceil(np.log2(capacity * 16)))))
+    # start tight — every per-pair cost (sort, pack, gradient reduction)
+    # scales with this static budget; the training loop doubles it (one
+    # recompile) whenever a frame actually drops pairs
+    max_pairs = min(1 << 24, max(1 << 18, 2 ** int(np.ceil(np.log2(capacity * 4)))))
     mspt = 2048 if tiles > 1024 else 1024
     # early scenes hold few, large gaussians (SfM init) — give them a wide
     # per-gaussian tile cap; at scale footprints shrink (densification
@@ -308,6 +310,26 @@ def training(
         it_times.extend([dt / n_stepped] * n_stepped)
         iteration += n_stepped - 1
         ema_loss = 0.4 * loss + 0.6 * ema_loss
+
+        # pair-budget overflow: grow and recompile (reference never drops —
+        # its CUDA rasterizer allocates the key buffer per frame)
+        if int(metrics["num_dropped_pairs"]) > 0 and settings.max_pairs < (1 << 26):
+            new_budget = settings.max_pairs * 2
+            print(
+                f"[ITER {iteration}] pair budget overflow: "
+                f"{settings.max_pairs} -> {new_budget}",
+                flush=True,
+            )
+            settings = dataclasses.replace(settings, max_pairs=new_budget)
+            cfg = dataclasses.replace(cfg, settings=settings)
+            step = None
+            step = build_step()
+            if chained is not None:
+                chained = make_train_step_chained(
+                    tx, cam_batch, images, cfg, n_chain
+                )
+            densify_step, reset_step = make_densify_step(opt, cfg)
+            render_fn = make_render_fn(cfg)
 
         if iteration % 100 == 0:
             n_act = int(metrics["num_active"])

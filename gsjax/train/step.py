@@ -238,6 +238,7 @@ def make_train_step_chained(
         )
         metrics = jax.tree.map(lambda a: a[-1], ms)
         metrics["loss_mean"] = jnp.mean(ms["loss"])
+        metrics["num_dropped_pairs"] = jnp.max(ms["num_dropped_pairs"])
         return state, opt_state, metrics
 
     return chained
