@@ -19,7 +19,6 @@ as the ground truth in tests — the role the reference's
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 
@@ -32,7 +31,7 @@ from gsjax.ops.composite import (
     assemble_image,
     composite_tiles,
 )
-from gsjax.ops.projection import TILE, Splats, num_tiles, preprocess
+from gsjax.ops.projection import TILE, num_tiles, preprocess
 
 
 @dataclasses.dataclass(frozen=True)

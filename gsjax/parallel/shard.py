@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -269,7 +268,6 @@ def make_sharded_train_step(
     """
     import optax
 
-    from gsjax.models.densify import add_densification_stats
 
     data_size = mesh.shape["data"]
     gauss_size = mesh.shape["gauss"]

@@ -23,7 +23,6 @@ def safe_state(quiet: bool = False, seed: int = 0):
     wrap stdout so every line ends with a timestamp, silence under
     ``--quiet``, and seed python/numpy (JAX keys are explicit; the device
     is whatever JAX selected rather than a pinned cuda:0)."""
-    import builtins
     import random
     import sys
     from datetime import datetime
