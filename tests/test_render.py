@@ -254,3 +254,17 @@ def test_precomputed_paths_match_internal():
     np.testing.assert_array_equal(
         np.asarray(base["render"]), np.asarray(out_col["render"])
     )
+
+
+def test_exact_depth_sort_matches_quantized():
+    """With well-separated depths the quantized uint32 keys must order
+    pairs identically to the exact two-key sort."""
+    cam, gs = scene()
+    exact = RasterizeSettings(
+        max_pairs=1 << 16, max_splats_per_tile=512, exact_depth_sort=True
+    )
+    out_e = render(cam, *gs, 3, BG, exact)
+    out_q = tiled_fn()(cam, *full_args(gs), BG, 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(out_e["render"]), np.asarray(out_q["render"])
+    )
