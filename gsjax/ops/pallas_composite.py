@@ -450,6 +450,7 @@ def composite_pallas_grads(
     chunk: int = CHUNK,
     interpret: bool | None = None,
     grad_dtype=jnp.float32,
+    grad_reduce: str = "gather",
 ):
     """Backward pass: per-pair gradient kernel + deterministic segmented
     reduction to per-gaussian cotangents.
@@ -535,11 +536,23 @@ def composite_pallas_grads(
     n_gauss = gauss_count.shape[0]
     big = jnp.int32(2**31 - 1)
     slot_key = jnp.where(i_arr < num_valid, pair_slot, big)
-    slot_sorted, perm = jax.lax.sort(
-        (slot_key, padded_pos), num_keys=1, is_stable=True
-    )
-    grads_slot = grads_rows[perm]  # (P, 16) one natural-layout row gather
-    grads_slot = grads_slot.astype(jnp.float32)  # accumulate in f32
+    if grad_reduce == "sort":
+        # carry the 16 grad columns through the sort as payload operands:
+        # trades the random (P, 16) row gather for extra sorted-payload
+        # movement plus one *monotone* gather (padded_pos is nondecreasing)
+        grads_pairs = grads_rows[padded_pos].astype(jnp.float32)
+        cols = tuple(grads_pairs[:, c] for c in range(ATTR_W))
+        sorted_all = jax.lax.sort(
+            (slot_key,) + cols, num_keys=1, is_stable=True
+        )
+        slot_sorted = sorted_all[0]
+        grads_slot = jnp.stack(sorted_all[1:], axis=-1)  # (P, 16) f32
+    else:
+        slot_sorted, perm = jax.lax.sort(
+            (slot_key, padded_pos), num_keys=1, is_stable=True
+        )
+        grads_slot = grads_rows[perm]  # (P, 16) one natural-layout row gather
+        grads_slot = grads_slot.astype(jnp.float32)  # accumulate in f32
 
     csum = _blocked_cumsum_rows(grads_slot)  # inclusive (P, 16)
     csum = jnp.concatenate([jnp.zeros((1, ATTR_W), jnp.float32), csum], axis=0)
@@ -565,11 +578,12 @@ def composite_pallas_grads(
         return jnp.flip(jax.lax.cummin(jnp.flip(lo)))
 
     lo = jax.lax.cond(num_valid == total, fast_lo, slow_lo, None)
-    hi = jnp.concatenate([lo[1:], jnp.full((1,), max_pairs, jnp.int32)])
-    # valid pairs are a prefix of the slot-sorted order
-    lo = jnp.minimum(lo, num_valid)
-    hi = jnp.minimum(hi, num_valid)
-    per_gauss = csum[hi[:n_gauss]] - csum[lo[:n_gauss]]  # (N, 16)
+    # valid pairs are a prefix of the slot-sorted order; gaussian i's
+    # segment is [lo[i], lo[i+1]) so one monotone (N+1)-row gather of the
+    # cumulative sums yields every boundary (hi[i] == lo[i+1])
+    loc = jnp.minimum(lo, num_valid)  # (N + 1,) nondecreasing
+    cl = csum[loc]
+    per_gauss = cl[1:] - cl[:-1]  # (N, 16)
 
     d_means2d = per_gauss[:, 0:2]
     d_conics = per_gauss[:, 2:5]
@@ -606,6 +620,7 @@ def composite_pallas(
     tiles_y: int,
     chunk: int = CHUNK,
     grad_dtype: str = "float32",
+    grad_reduce: str = "gather",
 ):
     """Differentiable Pallas compositing: custom VJP pairing the forward
     tile kernel with the back-to-front replay kernel (the JAX equivalent of
@@ -617,13 +632,15 @@ def composite_pallas(
     return _composite_vjp(
         means2d, conics, colors, opacities, pair_gauss, pair_slot,
         tile_start, gauss_count, mt, tiles_x, tiles_y, chunk, grad_dtype,
+        grad_reduce,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _composite_vjp(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
     tile_start, gauss_count, mt, tiles_x, tiles_y, chunk, grad_dtype,
+    grad_reduce,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk
@@ -637,6 +654,7 @@ def _composite_vjp(
 def _composite_vjp_fwd(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
     tile_start, gauss_count, mt, tiles_x, tiles_y, chunk, grad_dtype,
+    grad_reduce,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk
@@ -648,7 +666,9 @@ def _composite_vjp_fwd(
     return (tc, tT), res
 
 
-def _composite_vjp_bwd(mt, tiles_x, tiles_y, chunk, grad_dtype, res, cts):
+def _composite_vjp_bwd(
+    mt, tiles_x, tiles_y, chunk, grad_dtype, grad_reduce, res, cts
+):
     import numpy as np
 
     pair_attrs, tile_start, final_T, ncon, pair_slot, gauss_count = res
@@ -657,6 +677,7 @@ def _composite_vjp_bwd(mt, tiles_x, tiles_y, chunk, grad_dtype, res, cts):
         pair_attrs, tile_start, d_tc, d_tT, final_T, ncon,
         pair_slot, gauss_count, mt, tiles_x, tiles_y, chunk,
         grad_dtype=jnp.dtype(grad_dtype).type,
+        grad_reduce=grad_reduce,
     )
 
     def int_ct(x):

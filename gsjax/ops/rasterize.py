@@ -53,12 +53,15 @@ class RasterizeSettings:
     exact_depth_sort: bool = False  # full-f32 depth keys (slower 2-key sort)
     max_tiles_per_gauss: int = 16  # dense pair-grid stride (power of two)
     grad_dtype: str = "float32"  # "bfloat16" halves backward-reduction traffic
+    grad_reduce: str = "gather"  # "sort" carries grads through the slot sort
 
     def __post_init__(self):
         if self.max_splats_per_tile % self.chunk:
             raise ValueError("max_splats_per_tile must be a multiple of chunk")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.grad_reduce not in ("gather", "sort"):
+            raise ValueError(f"unknown grad_reduce {self.grad_reduce!r}")
 
 
 def render(
@@ -117,6 +120,7 @@ def render(
             bins.pair_gauss, bins.pair_slot, bins.tile_start, bins.gauss_count,
             bins.mt, tiles_x, tiles_y, settings.pallas_chunk,
             grad_dtype=settings.grad_dtype,
+            grad_reduce=settings.grad_reduce,
         )
     else:
         tile_colors, tile_T = composite_tiles(

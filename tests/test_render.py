@@ -231,6 +231,32 @@ def test_pallas_backend_matches_xla_gradients():
         )
 
 
+def test_grad_reduce_sort_matches_gather():
+    """The payload-through-sort backward reduction must agree with the
+    gather-based one (both are exact reorderings of the same per-pair
+    grads; sums run in f32 in identical segment order)."""
+    cam, gs = scene()
+    args = full_args(gs)
+    probe = jnp.asarray(np.random.default_rng(11).normal(size=(H, W, 3)))
+    grads = {}
+    for mode in ("gather", "sort"):
+        fn = _probe_loss(
+            render,
+            settings=RasterizeSettings(
+                max_pairs=1 << 16, backend="pallas", pallas_chunk=128,
+                grad_reduce=mode,
+            ),
+        )
+        grads[mode] = fn(cam, *args, probe)
+    for name, a, b in zip(
+        ["means3d", "scales", "quats", "opacities", "shs", "offset"],
+        grads["gather"], grads["sort"],
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+
+
 def test_precomputed_paths_match_internal():
     """--compute_cov3D_python / --convert_SHs_python parity: feeding
     externally precomputed covariance / colors must reproduce the internal
