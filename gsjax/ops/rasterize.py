@@ -53,7 +53,10 @@ class RasterizeSettings:
     exact_depth_sort: bool = False  # full-f32 depth keys (slower 2-key sort)
     max_tiles_per_gauss: int = 16  # dense pair-grid stride (power of two)
     grad_dtype: str = "float32"  # "bfloat16" halves backward-reduction traffic
-    grad_reduce: str = "gather"  # "sort" carries grads through the slot sort
+    # "sort" carries grads through the slot sort as payload operands; on TPU
+    # a 17-operand lax.sort is pathologically slow to compile/run — leave at
+    # "gather" there (see docs/PERF.md negative results)
+    grad_reduce: str = "gather"
 
     def __post_init__(self):
         if self.max_splats_per_tile % self.chunk:
