@@ -34,9 +34,13 @@ def make_data():
     return table, perm, slot_key, pos
 
 
+print("making data...", flush=True)
 table, perm, slot_key, pos = jax.block_until_ready(make_data())
+print("data made", float(table[0, 0]), flush=True)
 table_t = jnp.transpose(table)
+print("transposed", float(table_t[0, 0]), flush=True)
 mono = jnp.sort(perm)
+print("mono ready", int(mono[0]), flush=True)
 
 rtt = measure_rtt()
 print(f"rtt {rtt*1e3:.1f} ms", flush=True)
