@@ -17,6 +17,11 @@ Pipeline (TPU-native re-design of the reference CUDA rasterizer,
    call contract, plus a naive all-pairs oracle renderer for testing.
 """
 
-from gsjax.ops.rasterize import RasterizeSettings, render, render_naive
+from gsjax.ops.rasterize import (
+    RasterizeSettings,
+    mark_visible,
+    render,
+    render_naive,
+)
 
-__all__ = ["RasterizeSettings", "render", "render_naive"]
+__all__ = ["RasterizeSettings", "mark_visible", "render", "render_naive"]

@@ -231,6 +231,26 @@ def test_pallas_backend_matches_xla_gradients():
         )
 
 
+def test_mark_visible_frustum():
+    """mark_visible: points in front of the camera beyond `near` are
+    visible; points behind or closer than `near` are not (the rasterizer's
+    external-culling API, SURVEY.md §2.2 N1 markVisible)."""
+    from gsjax.ops import mark_visible
+
+    cam = make_test_camera(width=W, height=H, seed=None).to_render_camera()
+    # camera at origin looking down +z (identity R, zero T in test fixture)
+    pts = jnp.asarray(
+        [
+            [0.0, 0.0, 5.0],   # in front
+            [0.0, 0.0, -5.0],  # behind
+            [0.0, 0.0, 0.1],   # closer than near=0.2
+            [50.0, 0.0, 5.0],  # far off-axis but in front of near plane
+        ]
+    )
+    vis = np.asarray(mark_visible(pts, cam))
+    assert vis.tolist() == [True, False, False, True]
+
+
 def test_grad_reduce_sort_matches_gather():
     """The payload-through-sort backward reduction must agree with the
     gather-based one (both are exact reorderings of the same per-pair
