@@ -511,7 +511,14 @@ def composite_pallas_grads(
         input_output_aliases={4: 0},  # zeros input (after 2 prefetch + 2 inputs) -> output
         interpret=interpret,
     )(tile_start, padded_start, pair_attrs, io8, zeros_out)
-    grads_rows = grads_padded.transpose(0, 2, 1).reshape(p_pad, ATTR_W)
+    # only rows 0..8 of the kernel output carry gradients (9..15 are zero
+    # padding); slicing before the row-major relayout shrinks the gather
+    # source by 7/16 — TPU gather throughput drops sharply with source
+    # footprint (docs/PERF.md)
+    grad_w = 9
+    grads_rows = (
+        grads_padded[:, :grad_w, :].transpose(0, 2, 1).reshape(p_pad, grad_w)
+    )
 
     # --- reduction: padded per-pair grads -> per-gaussian cotangents ---
     # TPU scatter-adds (segment_sum) and dense-grid gathers both measure
@@ -541,7 +548,7 @@ def composite_pallas_grads(
         # trades the random (P, 16) row gather for extra sorted-payload
         # movement plus one *monotone* gather (padded_pos is nondecreasing)
         grads_pairs = grads_rows[padded_pos].astype(jnp.float32)
-        cols = tuple(grads_pairs[:, c] for c in range(ATTR_W))
+        cols = tuple(grads_pairs[:, c] for c in range(grads_pairs.shape[1]))
         sorted_all = jax.lax.sort(
             (slot_key,) + cols, num_keys=1, is_stable=True
         )
@@ -555,7 +562,9 @@ def composite_pallas_grads(
         grads_slot = grads_slot.astype(jnp.float32)  # accumulate in f32
 
     csum = _blocked_cumsum_rows(grads_slot)  # inclusive (P, 16)
-    csum = jnp.concatenate([jnp.zeros((1, ATTR_W), jnp.float32), csum], axis=0)
+    csum = jnp.concatenate(
+        [jnp.zeros((1, grad_w), jnp.float32), csum], axis=0
+    )
 
     # per-gaussian segment boundaries in slot-sorted order. Common case
     # (no pairs lost to the budget): every gaussian keeps its gauss_count
