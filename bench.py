@@ -113,10 +113,13 @@ def main():
     key = jax.random.PRNGKey(0)
     s1, o1, m = chained(state, opt_state, idxs, key)
     float(m["loss_mean"])  # compile + sync
-    t0 = time.time()
-    s2, o2, m = chained(s1, o1, idxs, jax.random.fold_in(key, 1))
-    float(m["loss_mean"])
-    t_train = max((time.time() - t0 - rtt) / n_chain, 1e-4)
+    samples = []
+    for i in range(1, 4):
+        t0 = time.time()
+        s1, o1, m = chained(s1, o1, idxs, jax.random.fold_in(key, i))
+        float(m["loss_mean"])
+        samples.append(time.time() - t0)
+    t_train = max((min(samples) - rtt) / n_chain, 1e-4)
 
     result = {
         "metric": "1080p frames/s/chip (fwd)",

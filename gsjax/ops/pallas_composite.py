@@ -59,12 +59,16 @@ def _interpret_default():
 
 
 def pack_pair_attrs(pair_gauss, means2d, conics, colors, opacities,
-                    chunk: int = CHUNK):
+                    chunk: int = CHUNK, pair_slot=None):
     """Gather per-gaussian attributes into the sorted, *chunk-major*
     (n_chunks, 16, chunk) table the kernel streams: each leading index is
     one contiguous 8KB DMA block (strided per-attribute-row reads would be
     16 separate 512B transfers). Tail padding keeps the last tile's aligned
-    window in bounds; tile ranges never cover it."""
+    window in bounds; tile ranges never cover it.
+
+    When ``pair_slot`` is given its int32 bits ride in attribute row 9
+    (unused by the forward kernel); the backward kernel forwards them into
+    its output so the grad reduction can sort by slot without gathering."""
     per_gauss = jnp.concatenate(
         [
             means2d,
@@ -76,6 +80,10 @@ def pack_pair_attrs(pair_gauss, means2d, conics, colors, opacities,
         axis=1,
     ).astype(jnp.float32)  # (N, 16)
     pair = per_gauss[pair_gauss]  # (P, 16) one row gather
+    if pair_slot is not None:
+        pair = pair.at[:, 9].set(
+            jax.lax.bitcast_convert_type(pair_slot, jnp.float32)
+        )
     p = pair.shape[0]
     pad = (-p) % chunk + chunk
     pair = jnp.concatenate([pair, jnp.zeros((pad, 16), jnp.float32)], axis=0)
@@ -279,6 +287,7 @@ def _composite_bwd_kernel(
     *,
     chunk,
     tiles_x,
+    emit_slot_keys=False,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -301,12 +310,17 @@ def _composite_bwd_kernel(
     vr, vg, vb, u, T_N, ncon_f = col(0), col(1), col(2), col(3), col(4), col(5)
     ncon = ncon_f.astype(jnp.int32)  # (PIX, 1) local index count
 
-    # chunks beyond the last contributing pair need no walk; their padded
-    # grad slots stay zero via the zero-initialized (aliased) output
+    # chunks beyond the last contributing pair need no grad walk; their
+    # padded grad slots stay zero via the zero-initialized (aliased)
+    # output. When emitting slot keys the whole window must be walked so
+    # every in-range pair gets its key (grads there are zero but the
+    # reduction's boundary bookkeeping counts all valid pairs).
     maxn = jnp.max(ncon)  # scalar
     n_bwd = jnp.where(
         maxn > 0, (start - win + maxn - 1) // chunk + 1, 0
     )
+    if emit_slot_keys:
+        n_bwd = (padded_start_ref[t + 1] - pstart) // chunk
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
@@ -395,9 +409,23 @@ def _composite_bwd_kernel(
             out_dma(slot, n_bwd - 1 - (k - 2)).wait()
 
         zero_row = jnp.zeros((1, chunk), jnp.float32)
+        if emit_slot_keys:
+            # forward the pair's slot id (riding in attr row 9) for the
+            # sort-payload reduction; out-of-range lanes belong to a
+            # neighboring tile's window and get the +inf-slot sentinel
+            in_range = (gidx >= start) & (gidx < end)
+            slot_bits = jax.lax.bitcast_convert_type(
+                buf[slot, 9:10, :], jnp.int32
+            )
+            key_row = jax.lax.bitcast_convert_type(
+                jnp.where(in_range, slot_bits, jnp.int32(2**31 - 1)),
+                jnp.float32,
+            )
+            tail = [key_row] + [zero_row] * (ATTR_W - 10)
+        else:
+            tail = [zero_row] * (ATTR_W - 9)
         obuf[slot] = jnp.concatenate(
-            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_g, g_b]
-            + [zero_row] * (ATTR_W - 9),
+            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_g, g_b] + tail,
             axis=0,
         ).astype(obuf.dtype)
         out_dma(slot, ci).start()
@@ -425,6 +453,8 @@ def _composite_bwd_kernel(
 def _blocked_cumsum_rows(x, block: int = 4096):
     """Inclusive cumulative sum along axis 0 of (P, C), two-level."""
     p, c = x.shape
+    while block > 128 and p % block:
+        block //= 2
     if p % block:
         return jnp.cumsum(x, axis=0)
     rows = x.reshape(p // block, block, c)
@@ -503,65 +533,86 @@ def composite_pallas_grads(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    emit_keys = grad_reduce == "sort" and jnp.dtype(grad_dtype) == jnp.float32
     zeros_out = jnp.zeros((p_pad // chunk, ATTR_W, chunk), grad_dtype)
+    if emit_keys:
+        # unwritten chunks (beyond the last tile window) must read as the
+        # +inf-slot sentinel in the key row
+        sentinel = jax.lax.bitcast_convert_type(
+            jnp.int32(2**31 - 1), jnp.float32
+        )
+        zeros_out = zeros_out.at[:, 9, :].set(sentinel)
     grads_padded = pl.pallas_call(
-        functools.partial(_composite_bwd_kernel, chunk=chunk, tiles_x=tiles_x),
+        functools.partial(
+            _composite_bwd_kernel, chunk=chunk, tiles_x=tiles_x,
+            emit_slot_keys=emit_keys,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p_pad // chunk, ATTR_W, chunk), grad_dtype),
         input_output_aliases={4: 0},  # zeros input (after 2 prefetch + 2 inputs) -> output
         interpret=interpret,
     )(tile_start, padded_start, pair_attrs, io8, zeros_out)
-    # only rows 0..8 of the kernel output carry gradients (9..15 are zero
-    # padding); slicing before the row-major relayout shrinks the gather
-    # source by 7/16 — TPU gather throughput drops sharply with source
-    # footprint (docs/PERF.md)
-    grad_w = 9
-    grads_rows = (
-        grads_padded[:, :grad_w, :].transpose(0, 2, 1).reshape(p_pad, grad_w)
-    )
 
     # --- reduction: padded per-pair grads -> per-gaussian cotangents ---
-    # TPU scatter-adds (segment_sum) and dense-grid gathers both measure
-    # in the hundreds of ms at this size; instead: order pairs by their
-    # dense (g * mt + j) slot with one cheap i32 sort (padded positions
-    # ride along as the payload), permute the grad rows with a single
-    # natural-layout gather, and segment-reduce with a blocked cumulative
-    # sum — every step deterministic.
-    # map sorted pair i (tile t) to its padded slot: i + shift[t], with
-    # shift[t] = padded_start[t] - win[t] (nondecreasing in t)
-    shift = padded_start[:num_t] - win
-    count = end - start
-    starts_fill = jnp.where(count > 0, start, max_pairs)
-    seg = (
-        jnp.zeros(max_pairs, jnp.int32).at[starts_fill].max(shift, mode="drop")
-    )
-    shift_fill = _cummax_blocked_1d(seg)
-    i_arr = jnp.arange(max_pairs, dtype=jnp.int32)
+    # TPU scatter-adds (segment_sum) measure in the hundreds of ms at this
+    # size and random row gathers run at ~43M rows/s; sorts, by contrast,
+    # stream at ~90GB/s. Two deterministic strategies (identical results):
+    grad_w = 9  # kernel output rows 0..8 carry gradients
     num_valid = tile_start[num_t]
-    padded_pos = jnp.where(i_arr < num_valid, i_arr + shift_fill, p_pad - 1)
-
     n_gauss = gauss_count.shape[0]
     big = jnp.int32(2**31 - 1)
-    slot_key = jnp.where(i_arr < num_valid, pair_slot, big)
-    if grad_reduce == "sort":
-        # carry the 16 grad columns through the sort as payload operands:
-        # trades the random (P, 16) row gather for extra sorted-payload
-        # movement plus one *monotone* gather (padded_pos is nondecreasing)
-        grads_pairs = grads_rows[padded_pos].astype(jnp.float32)
-        cols = tuple(grads_pairs[:, c] for c in range(grads_pairs.shape[1]))
-        sorted_all = jax.lax.sort(
-            (slot_key,) + cols, num_keys=1, is_stable=True
+    if emit_keys:
+        # sort-payload mode: the kernel emitted each pair's slot id in row
+        # 9 (+inf sentinel for holes), so the padded grid itself is sorted
+        # by slot directly — the 9 grad columns ride as payload across two
+        # small-operand sorts (variadic lax.sort degrades badly past ~6
+        # operands) and no row gather is needed at all.
+        key_pad = jax.lax.bitcast_convert_type(
+            grads_padded[:, 9, :], jnp.int32
+        ).reshape(p_pad)
+        cols = tuple(
+            grads_padded[:, c, :].reshape(p_pad).astype(jnp.float32)
+            for c in range(grad_w)
         )
-        slot_sorted = sorted_all[0]
-        grads_slot = jnp.stack(sorted_all[1:], axis=-1)  # (P, 16) f32
+        sorted_a = jax.lax.sort(
+            (key_pad,) + cols[:4], num_keys=1, is_stable=True
+        )
+        sorted_b = jax.lax.sort(
+            (key_pad,) + cols[4:], num_keys=1, is_stable=True
+        )
+        slot_sorted = sorted_a[0]
+        grads_slot = jnp.stack(sorted_a[1:] + sorted_b[1:], axis=-1)
     else:
+        # gather mode: order pairs by their dense (g * mt + j) slot with
+        # one cheap i32 sort (padded positions ride along as the payload),
+        # then permute the grad rows with a single natural-layout gather.
+        # map sorted pair i (tile t) to its padded slot: i + shift[t], with
+        # shift[t] = padded_start[t] - win[t] (nondecreasing in t)
+        grads_rows = (
+            grads_padded[:, :grad_w, :]
+            .transpose(0, 2, 1)
+            .reshape(p_pad, grad_w)
+        )
+        shift = padded_start[:num_t] - win
+        count = end - start
+        starts_fill = jnp.where(count > 0, start, max_pairs)
+        seg = (
+            jnp.zeros(max_pairs, jnp.int32)
+            .at[starts_fill]
+            .max(shift, mode="drop")
+        )
+        shift_fill = _cummax_blocked_1d(seg)
+        i_arr = jnp.arange(max_pairs, dtype=jnp.int32)
+        padded_pos = jnp.where(i_arr < num_valid, i_arr + shift_fill, p_pad - 1)
+        slot_key = jnp.where(i_arr < num_valid, pair_slot, big)
         slot_sorted, perm = jax.lax.sort(
             (slot_key, padded_pos), num_keys=1, is_stable=True
         )
-        grads_slot = grads_rows[perm]  # (P, 16) one natural-layout row gather
+        grads_slot = grads_rows[perm]  # (P, 9) one natural-layout row gather
         grads_slot = grads_slot.astype(jnp.float32)  # accumulate in f32
 
-    csum = _blocked_cumsum_rows(grads_slot)  # inclusive (P, 16)
+    sorted_len = grads_slot.shape[0]  # max_pairs (gather) or p_pad (sort)
+    csum = _blocked_cumsum_rows(grads_slot)  # inclusive (L, 9)
     csum = jnp.concatenate(
         [jnp.zeros((1, grad_w), jnp.float32), csum], axis=0
     )
@@ -580,9 +631,9 @@ def composite_pallas_grads(
     def slow_lo(_):
         g_sorted = jnp.minimum(slot_sorted // mt, n_gauss)
         lo = (
-            jnp.full(n_gauss + 1, max_pairs, jnp.int32)
+            jnp.full(n_gauss + 1, sorted_len, jnp.int32)
             .at[g_sorted]
-            .min(i_arr, mode="drop")
+            .min(jnp.arange(sorted_len, dtype=jnp.int32), mode="drop")
         )
         return jnp.flip(jax.lax.cummin(jnp.flip(lo)))
 
@@ -652,7 +703,8 @@ def _composite_vjp(
     grad_reduce,
 ):
     pair_attrs = pack_pair_attrs(
-        pair_gauss, means2d, conics, colors, opacities, chunk
+        pair_gauss, means2d, conics, colors, opacities, chunk,
+        pair_slot=pair_slot,
     )
     tc, tT, _ = composite_tiles_pallas(
         pair_attrs, tile_start, tiles_x, tiles_y, chunk
@@ -666,7 +718,8 @@ def _composite_vjp_fwd(
     grad_reduce,
 ):
     pair_attrs = pack_pair_attrs(
-        pair_gauss, means2d, conics, colors, opacities, chunk
+        pair_gauss, means2d, conics, colors, opacities, chunk,
+        pair_slot=pair_slot,
     )
     tc, tT, ncon = composite_tiles_pallas(
         pair_attrs, tile_start, tiles_x, tiles_y, chunk

@@ -53,10 +53,12 @@ class RasterizeSettings:
     exact_depth_sort: bool = False  # full-f32 depth keys (slower 2-key sort)
     max_tiles_per_gauss: int = 16  # dense pair-grid stride (power of two)
     grad_dtype: str = "float32"  # "bfloat16" halves backward-reduction traffic
-    # "sort" carries grads through the slot sort as payload operands; on TPU
-    # a 17-operand lax.sort is pathologically slow to compile/run — leave at
-    # "gather" there (see docs/PERF.md negative results)
-    grad_reduce: str = "gather"
+    # backward reduction strategy: "sort" carries the 9 grad columns as
+    # sort payload over two small-operand sorts (no row gather; the kernel
+    # emits slot keys in-band), "gather" permutes grad rows with one random
+    # row gather (~43M rows/s on TPU). "sort" needs grad_dtype float32 and
+    # falls back to "gather" otherwise. See docs/PERF.md.
+    grad_reduce: str = "sort"
 
     def __post_init__(self):
         if self.max_splats_per_tile % self.chunk:
