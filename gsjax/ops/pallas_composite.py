@@ -169,9 +169,12 @@ def _composite_kernel(
         )
         alpha = jnp.where(ok, alpha, 0.0)
 
-        # Prefix products run in log space on the MXU: cumsum along the on the MXU: cumsum along the
+        # Prefix products run in log space on the MXU: cumsum along the
         # 128 pair lanes is one (PIX, chunk) @ (chunk, chunk) triangular
         # matmul — far cheaper than log2(chunk) VPU roll-multiply scans.
+        # (Measured: collapsing the three matmuls to one via the
+        # monotone-threshold identity made the kernel 17ms SLOWER — it is
+        # VPU-bound and the MXU matmuls overlap with vector work for free.)
         lg = jnp.log1p(-alpha)  # log(1 - alpha); 0 where skipped
         cum = jnp.dot(lg, tri_incl, preferred_element_type=jnp.float32)
         trip = (ok & (logT + cum < LOG_T_EPS)).astype(jnp.float32)
@@ -574,11 +577,17 @@ def composite_pallas_grads(
             grads_padded[:, c, :].reshape(p_pad).astype(jnp.float32)
             for c in range(grad_w)
         )
+        # two separate sorts, not one: variadic sort cost grows superlinearly
+        # with operand count (an 11-operand sort measured 50ms vs 2x17ms).
+        # The barrier stops CSE from re-merging them; is_stable=False is
+        # safe (valid keys are unique slots; sentinel-key rows are all-zero
+        # in every payload column) and sheds the stability iota operand.
         sorted_a = jax.lax.sort(
-            (key_pad,) + cols[:4], num_keys=1, is_stable=True
+            (key_pad,) + cols[:4], num_keys=1, is_stable=False
         )
         sorted_b = jax.lax.sort(
-            (key_pad,) + cols[4:], num_keys=1, is_stable=True
+            (jax.lax.optimization_barrier(key_pad),) + cols[4:],
+            num_keys=1, is_stable=False,
         )
         slot_sorted = sorted_a[0]
         grads_slot = jnp.stack(sorted_a[1:] + sorted_b[1:], axis=-1)
