@@ -41,6 +41,7 @@ class TileBins(NamedTuple):
     tile_start: jnp.ndarray  # (T + 1,) int32 range starts into sorted pairs
     num_pairs: jnp.ndarray  # () int32 valid pairs after caps
     num_dropped: jnp.ndarray  # () int32 pairs lost to MT / budget caps
+    num_mt_capped: jnp.ndarray  # () int32 subset of num_dropped lost to MT
     gauss_count: jnp.ndarray  # (N,) int32 expanded pairs per gaussian
     mt: int  # static: max tiles per gaussian (slot stride)
 
@@ -111,6 +112,7 @@ def build_tile_bins(
 
     num_pairs = jnp.minimum(jnp.sum(counts), p)
     num_dropped = total_desired - num_pairs
+    num_mt_capped = total_desired - jnp.sum(counts)
 
     return TileBins(
         pair_gauss=sorted_g,
@@ -119,6 +121,7 @@ def build_tile_bins(
         tile_start=tile_start,
         num_pairs=num_pairs,
         num_dropped=num_dropped,
+        num_mt_capped=num_mt_capped,
         gauss_count=counts,
         mt=mt,
     )

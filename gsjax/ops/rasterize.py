@@ -150,6 +150,7 @@ def render(
         "visibility_filter": splats.radii > 0,
         "final_T": final_T,
         "num_dropped": bins.num_dropped,
+        "num_mt_capped": bins.num_mt_capped,
     }
 
 
@@ -238,6 +239,7 @@ def render_naive(
         "visibility_filter": splats.radii > 0,
         "final_T": final_T.reshape(h, w),
         "num_dropped": jnp.int32(0),
+        "num_mt_capped": jnp.int32(0),
     }
 
 

@@ -98,7 +98,7 @@ def _render_strip(
     """Render this chip's tile strip from all chips' splats.
 
     Returns (strip_image (strips_y*16, W, 3), strip_T, radii_shard,
-    num_dropped). Strip row offset = axis_index * strips_y tiles.
+    num_dropped, num_mt_capped). Strip row offset = axis_index * strips_y tiles.
     """
     tiles_x, _ = num_tiles(camera.width, camera.height)
     means3d, scales, quats, opac, shs = activated_params(params_shard)
@@ -149,7 +149,7 @@ def _render_strip(
     strip_img, strip_T = assemble_image(
         tile_colors, tile_T, bg, tiles_x, strips_y, camera.width, strips_y * TILE
     )
-    return strip_img, strip_T, splats.radii, bins.num_dropped
+    return strip_img, strip_T, splats.radii, bins.num_dropped, bins.num_mt_capped
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +237,7 @@ def make_sharded_render(
     )
     def body(params, active, sh_degree, camera, bg):
         offset = jnp.zeros((params["xyz"].shape[0], 2))
-        strip, strip_T, _, _ = _render_strip(
+        strip, strip_T, _, _, _ = _render_strip(
             params, active, sh_degree, camera, offset, bg,
             settings, strips_y, gauss_size,
         )
@@ -299,6 +299,7 @@ def make_sharded_train_step(
             P("gauss"),  # radii max
             P(),  # l1
             P(),  # dropped pairs
+            P(),  # mt-capped pairs
         ),
         check_vma=False,
     )
@@ -335,7 +336,7 @@ def make_sharded_train_step(
             loss = (1-lam)*L1 + lam*(1-SSIM) = psum(partial) + lam, with
             partial = ((1-lam)*l1_sum - lam*ssim_sum) / n_pix.
             """
-            strip, _, radii, dropped = _render_strip(
+            strip, _, radii, dropped, capped = _render_strip(
                 params, active, sh_degree, camera, offset, bg,
                 settings, strips_y, gauss_size,
             )
@@ -343,10 +344,10 @@ def make_sharded_train_step(
             l1_sum = jnp.sum(jnp.abs(strip - gt_strip) * row_valid[:, None, None])
             ssim_sum = _ssim_partial_sum(strip, gt_strip, row_valid, "gauss")
             partial = ((1.0 - lam) * l1_sum - lam * ssim_sum) / n_pix
-            return partial, (l1_sum, radii, dropped)
+            return partial, (l1_sum, radii, dropped, capped)
 
         offset = jnp.zeros((params["xyz"].shape[0], 2))
-        (partial, (l1_sum, radii, dropped)), (g_params, g_offset) = (
+        (partial, (l1_sum, radii, dropped, capped)), (g_params, g_offset) = (
             jax.value_and_grad(local_loss, argnums=(0, 1), has_aux=True)(
                 params, offset
             )
@@ -359,6 +360,7 @@ def make_sharded_train_step(
         loss = lax.pmean(loss, "data")
         l1 = lax.pmean(l1, "data")
         dropped = lax.psum(dropped, ("data",))
+        capped = lax.psum(capped, ("data",))
 
         # densification stats: accumulate over all cameras in the batch
         visible = radii > 0
@@ -369,12 +371,12 @@ def make_sharded_train_step(
         denom_inc = lax.psum(visible.astype(jnp.float32), "data")
         radii_max = lax.pmax(radii, "data")
 
-        return loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped
+        return loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped, capped
 
     @jax.jit
     def step(state: GaussianState, opt_state, cam_idx, key):
         keys = jax.random.split(key, data_size)
-        loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped = body(
+        loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped, capped = body(
             state.params,
             state.active,
             state.active_sh_degree,
@@ -400,6 +402,7 @@ def make_sharded_train_step(
             "loss": loss,
             "l1": l1,
             "num_dropped_pairs": dropped,
+            "num_mt_capped_pairs": capped,
             "num_active": new_state.num_active,
         }
         return new_state, new_opt_state, metrics

@@ -311,16 +311,28 @@ def training(
         iteration += n_stepped - 1
         ema_loss = 0.4 * loss + 0.6 * ema_loss
 
-        # pair-budget overflow: grow and recompile (reference never drops —
-        # its CUDA rasterizer allocates the key buffer per frame)
-        if int(metrics["num_dropped_pairs"]) > 0 and settings.max_pairs < (1 << 26):
-            new_budget = settings.max_pairs * 2
+        # pair overflow: grow the exhausted budget and recompile (the
+        # reference never drops — its CUDA rasterizer allocates the key
+        # buffer per frame). Two distinct causes, each with its own knob:
+        # the global pair budget, and the per-gaussian tile cap (whose
+        # drops a bigger max_pairs alone can never clear).
+        mt_capped = int(metrics.get("num_mt_capped_pairs", 0))
+        budget_dropped = int(metrics["num_dropped_pairs"]) - mt_capped
+        grow_budget = budget_dropped > 0 and settings.max_pairs < (1 << 26)
+        grow_mt = mt_capped > 0 and settings.max_tiles_per_gauss < 128
+        if grow_budget or grow_mt:
+            new_budget = settings.max_pairs * (2 if grow_budget else 1)
+            new_mt = settings.max_tiles_per_gauss * (2 if grow_mt else 1)
             print(
-                f"[ITER {iteration}] pair budget overflow: "
-                f"{settings.max_pairs} -> {new_budget}",
+                f"[ITER {iteration}] pair overflow "
+                f"(budget dropped {budget_dropped}, tile-capped {mt_capped}): "
+                f"max_pairs {settings.max_pairs} -> {new_budget}, "
+                f"tile cap {settings.max_tiles_per_gauss} -> {new_mt}",
                 flush=True,
             )
-            settings = dataclasses.replace(settings, max_pairs=new_budget)
+            settings = dataclasses.replace(
+                settings, max_pairs=new_budget, max_tiles_per_gauss=new_mt
+            )
             cfg = dataclasses.replace(cfg, settings=settings)
             step = None
             step = build_step()

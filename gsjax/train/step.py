@@ -170,6 +170,7 @@ def _train_step_body(
         "loss": loss,
         "l1": ll1,
         "num_dropped_pairs": out["num_dropped"],
+        "num_mt_capped_pairs": out["num_mt_capped"],
         "num_active": new_state.num_active,
     }
     return new_state, new_opt_state, metrics
@@ -238,6 +239,7 @@ def make_train_step_chained(
         metrics = jax.tree.map(lambda a: a[-1], ms)
         metrics["loss_mean"] = jnp.mean(ms["loss"])
         metrics["num_dropped_pairs"] = jnp.max(ms["num_dropped_pairs"])
+        metrics["num_mt_capped_pairs"] = jnp.max(ms["num_mt_capped_pairs"])
         return state, opt_state, metrics
 
     return chained

@@ -231,6 +231,35 @@ def test_pallas_backend_matches_xla_gradients():
         )
 
 
+def test_binning_overflow_cause_separation():
+    """num_mt_capped isolates pairs lost to the per-gaussian tile cap from
+    pairs lost to the global budget, so the trainer can grow the right
+    knob (gsjax/train/loop.py overflow handler)."""
+    from gsjax.ops.projection import Splats
+
+    n, mt = 8, 4
+    rect_min = jnp.zeros((n, 2), jnp.int32)
+    rect_max = jnp.broadcast_to(jnp.asarray([[3, 2]], jnp.int32), (n, 2))
+    touched = jnp.full((n,), 6, jnp.int32)  # 6 tiles each; cap mt=4
+    splats = Splats(
+        means2d=jnp.zeros((n, 2)), depths=jnp.linspace(1, 2, n),
+        conics=jnp.zeros((n, 3)), colors=jnp.zeros((n, 3)),
+        opacities=jnp.zeros(n), radii=jnp.ones(n, jnp.int32),
+        rect_min=rect_min, rect_max=rect_max, tiles_touched=touched,
+    )
+    # ample budget: every drop is an MT cap
+    bins = build_tile_bins(splats, 4, 4, max_pairs=1 << 10,
+                           max_tiles_per_gauss=mt)
+    assert int(bins.num_mt_capped) == n * 2
+    assert int(bins.num_dropped) == n * 2
+    # tight budget (16 < 8*4=32 capped pairs): both causes present
+    bins = build_tile_bins(splats, 4, 4, max_pairs=16,
+                           max_tiles_per_gauss=mt)
+    assert int(bins.num_mt_capped) == n * 2
+    assert int(bins.num_dropped) == n * 6 - 16
+    assert int(bins.num_dropped) - int(bins.num_mt_capped) == n * 4 - 16
+
+
 def test_mark_visible_frustum():
     """mark_visible: points in front of the camera beyond `near` are
     visible; points behind or closer than `near` are not (the rasterizer's
