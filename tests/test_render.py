@@ -309,6 +309,51 @@ def test_grad_reduce_sort_matches_gather():
         )
 
 
+def test_pallas_gradients_with_inactive_slots():
+    """Padding slots (active_mask False) must not poison gradients in the
+    pallas backend (sort-payload reduction included) — the NaN-from-
+    zero-padding pitfall class."""
+    cam, gs = scene()
+    mask = jnp.arange(N) < N // 2
+    args = full_args(gs, mask=mask)
+    probe = jnp.asarray(np.random.default_rng(13).normal(size=(H, W, 3)))
+    g_p = _probe_loss(
+        render,
+        settings=RasterizeSettings(
+            max_pairs=1 << 16, backend="pallas", pallas_chunk=128
+        ),
+    )(cam, *args, probe)
+    g_x = tiled_grad()(cam, *args, probe)
+    for name, a, b in zip(
+        ["means3d", "scales", "quats", "opacities", "shs", "offset"], g_p, g_x
+    ):
+        assert np.isfinite(np.asarray(a)).all(), name
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4,
+            err_msg=name,
+        )
+
+
+def test_sort_reduce_budget_overflow_grads_finite():
+    """grad_reduce='sort' under pair-budget overflow takes the scatter-min
+    boundary path; gradients must stay finite and num_dropped reported."""
+    cam, gs = scene()
+    settings = RasterizeSettings(
+        max_pairs=1 << 9, max_splats_per_tile=512, backend="pallas",
+        pallas_chunk=128, grad_reduce="sort",
+    )
+    out = render(cam, *gs, 3, BG, settings)
+    assert int(out["num_dropped"]) > 0
+    args = full_args(gs)
+    probe = jnp.asarray(np.random.default_rng(17).normal(size=(H, W, 3)))
+    g = _probe_loss(render, settings=settings)(cam, *args, probe)
+    for name, a in zip(
+        ["means3d", "scales", "quats", "opacities", "shs", "offset"], g
+    ):
+        assert np.isfinite(np.asarray(a)).all(), name
+
+
 def test_precomputed_paths_match_internal():
     """--compute_cov3D_python / --convert_SHs_python parity: feeding
     externally precomputed covariance / colors must reproduce the internal
