@@ -11,6 +11,7 @@ optional viewer-bridge callback polled once per iteration.
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 import json
 import os
@@ -65,6 +66,86 @@ def grow_opt_state(opt_state, old_capacity: int, new_capacity: int):
         return x
 
     return jax.tree.map(pad, opt_state)
+
+
+def _grown_abstract(tree, old_capacity: int, new_capacity: int):
+    """ShapeDtypeStructs for ``tree`` with every per-Gaussian leading dim
+    re-bucketed to ``new_capacity`` (for AOT-lowering the next bucket)."""
+
+    def conv(x):
+        shape = tuple(jnp.shape(x))
+        if len(shape) >= 1 and shape[0] == old_capacity:
+            shape = (new_capacity,) + shape[1:]
+        dtype = getattr(x, "dtype", None) or jnp.result_type(x)
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+    return jax.tree.map(conv, tree)
+
+
+def _with_fallback(compiled, builder):
+    """Call the AOT-compiled step; on an argument-aval mismatch (shape or
+    weak-type drift vs the abstract lowering) fall back to an inline jit
+    compile once and keep using that."""
+    holder = {"fn": compiled, "is_compiled": True}
+
+    def call(*args):
+        try:
+            return holder["fn"](*args)
+        except Exception as e:
+            if holder["is_compiled"]:
+                print(
+                    f"[warm] precompiled step rejected args "
+                    f"({type(e).__name__}: {e}); recompiling inline",
+                    flush=True,
+                )
+                holder["fn"] = builder()
+                holder["is_compiled"] = False
+                return holder["fn"](*args)
+            raise
+
+    return call
+
+
+class CapacityWarmer:
+    """Compiles the next capacity bucket's train step in a background
+    thread, so densification growth swaps in a ready executable instead of
+    stalling training on a recompile (the reference has no analogue — its
+    CUDA kernels are shape-polymorphic; XLA specializes on shapes).
+
+    Usage: ``maybe_start`` once the active count approaches the watermark;
+    ``take`` at growth time returns the compiled executable (or None if
+    not ready / settings changed, in which case the caller compiles
+    inline as before). Failures are swallowed — warming is best-effort.
+    """
+
+    def __init__(self):
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._key = None
+        self._future = None
+
+    @staticmethod
+    def _job(build_fn, abstract_args):
+        fn = build_fn()
+        return fn.lower(*abstract_args).compile()
+
+    def maybe_start(self, key, build_fn, abstract_args):
+        if self._key == key:
+            return
+        self._key = key
+        self._future = self._pool.submit(self._job, build_fn, abstract_args)
+
+    def take(self, key):
+        if self._key != key or self._future is None or not self._future.done():
+            return None
+        try:
+            return self._future.result()
+        except Exception as e:  # best-effort: fall back to inline compile
+            print(f"[warm] precompile failed ({type(e).__name__}: {e})",
+                  flush=True)
+            return None
+        finally:
+            self._key = None
+            self._future = None
 
 
 def default_rasterize_settings(
@@ -231,6 +312,37 @@ def training(
     render_fn = make_render_fn(cfg)
     bg = jnp.full(3, 1.0 if model.white_background else 0.0, jnp.float32)
 
+    # Background-compile the next capacity bucket's hot step once the
+    # active count nears the growth watermark, so the growth itself swaps
+    # in a ready executable instead of stalling on a recompile.
+    warmer = CapacityWarmer()
+    WARM_FRACTION = 0.5  # lead time: ~a capacity-doubling of densification
+
+    def capacity_warm_key(new_c: int):
+        return (new_c, dataclasses.astuple(settings), n_chain)
+
+    def start_capacity_warm(new_c: int):
+        if mesh is not None:
+            return
+        cfg_now = cfg
+        if chained is not None:
+            build = lambda: make_train_step_chained(  # noqa: E731
+                tx, cam_batch, images, cfg_now, n_chain
+            )
+            cam_abs = jax.ShapeDtypeStruct((n_chain,), jnp.int32)
+        else:
+            build = lambda: make_train_step(  # noqa: E731
+                tx, cam_batch, images, cfg_now
+            )
+            cam_abs = jax.ShapeDtypeStruct((), jnp.int32)
+        abstract = (
+            _grown_abstract(state, state.capacity, new_c),
+            _grown_abstract(opt_state, state.capacity, new_c),
+            cam_abs,
+            jax.ShapeDtypeStruct(jnp.shape(key), key.dtype),
+        )
+        warmer.maybe_start(capacity_warm_key(new_c), build, abstract)
+
     # Iterations at which post-step work happens (densify/reset/eval/save/
     # checkpoint); a chained dispatch may END on one but not cross one.
     def is_event(i: int) -> bool:
@@ -386,10 +498,18 @@ def training(
                     state, opt_state, k, use_screen_size=use_screen
                 )
                 n_act = int(state.num_active)
+                if n_act > WARM_FRACTION * state.capacity:
+                    start_capacity_warm(state.capacity * 2)
                 if int(dstats.num_dropped) > 0 or n_act > GROW_WATERMARK * state.capacity:
                     old_c, new_c = state.capacity, state.capacity * 2
+                    warmed = (
+                        warmer.take(capacity_warm_key(new_c))
+                        if mesh is None
+                        else None
+                    )
                     print(
-                        f"[ITER {iteration}] growing capacity {old_c} -> {new_c}",
+                        f"[ITER {iteration}] growing capacity {old_c} -> {new_c}"
+                        + (" (precompiled)" if warmed is not None else ""),
                         flush=True,
                     )
                     state = grow_capacity(state, new_c)
@@ -399,9 +519,20 @@ def training(
                     step = None  # drop stale closure before recompile
                     step = build_step()
                     if chained is not None:
-                        chained = make_train_step_chained(
-                            tx, cam_batch, images, cfg, n_chain
-                        )
+                        if warmed is not None:
+                            cfg_now = cfg
+                            chained = _with_fallback(
+                                warmed,
+                                lambda: make_train_step_chained(
+                                    tx, cam_batch, images, cfg_now, n_chain
+                                ),
+                            )
+                        else:
+                            chained = make_train_step_chained(
+                                tx, cam_batch, images, cfg, n_chain
+                            )
+                    elif warmed is not None:
+                        step = _with_fallback(warmed, build_step)
                     densify_step, reset_step = make_densify_step(opt, cfg)
 
             if iteration % opt.opacity_reset_interval == 0 or (

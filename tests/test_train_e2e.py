@@ -99,3 +99,68 @@ def test_checkpoint_resume_continues(blender_scene, tmp_path):
         quiet=True, settings=settings, capacity=256,
     )
     assert int(state2.num_active) > 0
+
+
+def test_capacity_warm_precompile_matches_inline():
+    """The background-compiled next-bucket step (CapacityWarmer + AOT
+    lowering over _grown_abstract shapes) must accept the actually-grown
+    state and produce the same result as a fresh jit compile."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import make_test_camera
+    from gsjax.configs import OptimizationParams
+    from gsjax.data.cameras import stack_render_cameras
+    from gsjax.models import create_from_pcd
+    from gsjax.models.gaussians import grow_capacity
+    from gsjax.ops.rasterize import RasterizeSettings
+    from gsjax.train.loop import CapacityWarmer, _grown_abstract, grow_opt_state
+    from gsjax.train.optim import make_optimizer
+    from gsjax.train.step import TrainConfig, make_train_step
+
+    rng = np.random.default_rng(0)
+    n = 100
+    pts = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), rng.uniform(4, 7, n)],
+        axis=1,
+    )
+    state = create_from_pcd(
+        pts, rng.uniform(0, 1, (n, 3)), spatial_lr_scale=2.0, capacity=128
+    )
+    cams = stack_render_cameras([make_test_camera(32, 32, seed=1)])
+    images = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    cfg = TrainConfig(
+        settings=RasterizeSettings(max_pairs=1 << 12, max_splats_per_tile=256),
+        extent=2.0,
+    )
+    tx = make_optimizer(OptimizationParams(), 2.0)
+    opt_state = tx.init(state.params)
+    key = jax.random.PRNGKey(3)
+
+    old_c, new_c = state.capacity, state.capacity * 2
+    warmer = CapacityWarmer()
+    abstract = (
+        _grown_abstract(state, old_c, new_c),
+        _grown_abstract(opt_state, old_c, new_c),
+        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct(jnp.shape(key), key.dtype),
+    )
+    build = lambda: make_train_step(tx, cams, images, cfg)  # noqa: E731
+    wk = (new_c, "settings", 1)
+    warmer.maybe_start(wk, build, abstract)
+    warmer._future.result(timeout=300)  # wait for the background compile
+    compiled = warmer.take(wk)
+    assert compiled is not None
+
+    g_state = grow_capacity(state, new_c)
+    g_opt = grow_opt_state(opt_state, old_c, new_c)
+    s1, o1, m1 = compiled(g_state, g_opt, jnp.int32(0), key)
+    s2, o2, m2 = build()(g_state, g_opt, jnp.int32(0), key)
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.params["xyz"]), np.asarray(s2.params["xyz"]), atol=1e-6
+    )
+    assert int(s1.num_active) == int(s2.num_active)
