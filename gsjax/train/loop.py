@@ -421,6 +421,30 @@ def training(
         dt = time.time() - t0
         it_times.extend([dt / n_stepped] * n_stepped)
         iteration += n_stepped - 1
+
+        if not np.isfinite(loss):
+            # crash forensics (the reference's rasterizer debug dump,
+            # reference README.md:143-146): with --debug, snapshot the full
+            # training state for offline repro before aborting
+            if pipe.debug:
+                dump = os.path.join(
+                    model.model_path or ".", f"snapshot_{iteration}.npz"
+                )
+                np.savez(
+                    dump,
+                    iteration=iteration,
+                    cam_idx=np.asarray(cam_idx if n_stepped == 1 else cam_idxs),
+                    active=np.asarray(state.active),
+                    **{f"param_{kk}": np.asarray(v)
+                       for kk, v in state.params.items()},
+                )
+                print(f"[ITER {iteration}] non-finite loss; dumped {dump}",
+                      flush=True)
+            raise FloatingPointError(
+                f"non-finite loss {loss} at iteration {iteration}"
+                + ("" if pipe.debug else " (re-run with --debug for a dump)")
+            )
+
         ema_loss = 0.4 * loss + 0.6 * ema_loss
 
         # pair overflow: grow the exhausted budget and recompile (the

@@ -164,3 +164,37 @@ def test_capacity_warm_precompile_matches_inline():
         np.asarray(s1.params["xyz"]), np.asarray(s2.params["xyz"]), atol=1e-6
     )
     assert int(s1.num_active) == int(s2.num_active)
+
+
+def test_nonfinite_loss_aborts_with_debug_dump(blender_scene, tmp_path):
+    """A NaN in the scene init must abort training with FloatingPointError;
+    with pipe.debug a snapshot npz is written first (the JAX analogue of
+    the reference rasterizer's crash dump, reference README.md:143-146)."""
+    import glob
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    from gsjax.data.ply import read_point_cloud_ply, write_point_cloud_ply
+    from gsjax.train.loop import training
+
+    src, _ = blender_scene
+    bad_src = str(tmp_path / "bad_scene")
+    shutil.copytree(src, bad_src)
+    pts, cols, _ = read_point_cloud_ply(os.path.join(bad_src, "points3d.ply"))
+    pts = np.asarray(pts).copy()
+    pts[0, 0] = np.nan
+    write_point_cloud_ply(os.path.join(bad_src, "points3d.ply"), pts, cols)
+
+    model = ModelParams(
+        source_path=bad_src, model_path=str(tmp_path / "out_bad")
+    )
+    opt = OptimizationParams(iterations=30, densify_from_iter=10_000)
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        training(
+            model, opt, PipelineParams(debug=True),
+            testing_iterations=(), saving_iterations=(), quiet=True,
+            steps_per_dispatch=1,
+        )
+    assert glob.glob(os.path.join(str(tmp_path / "out_bad"), "snapshot_*.npz"))
