@@ -278,9 +278,17 @@ def training(
             s = create_empty(cap, max_sh, lr_scale)
             return s, tx.init(s.params)
 
-        state, opt_state, first_iter = load_checkpoint(
-            start_checkpoint, make_template
-        )
+        if start_checkpoint.endswith((".pth", ".pt")):
+            # a reference torch checkpoint (train.py:130-132)
+            from gsjax.train.checkpoint import load_reference_checkpoint
+
+            state, opt_state, first_iter = load_reference_checkpoint(
+                start_checkpoint, make_template
+            )
+        else:
+            state, opt_state, first_iter = load_checkpoint(
+                start_checkpoint, make_template
+            )
         print(f"Restored checkpoint at iteration {first_iter}")
 
     mesh = None

@@ -198,3 +198,76 @@ def test_nonfinite_loss_aborts_with_debug_dump(blender_scene, tmp_path):
             steps_per_dispatch=1,
         )
     assert glob.glob(os.path.join(str(tmp_path / "out_bad"), "snapshot_*.npz"))
+
+
+def test_load_reference_torch_checkpoint(tmp_path):
+    """A reference chkpnt<iter>.pth (torch.save of GaussianModel.capture()
+    + iteration; reference train.py:130-132) loads into gsjax state with
+    params, accumulators and Adam moments mapped by param-group name."""
+    import numpy as np
+    import torch
+
+    from gsjax.models.gaussians import create_empty
+    from gsjax.train.checkpoint import load_reference_checkpoint
+    from gsjax.train.optim import make_optimizer
+
+    rng = np.random.default_rng(5)
+    n = 5
+    t = lambda *shape: torch.tensor(  # noqa: E731
+        rng.normal(size=shape).astype(np.float32)
+    )
+    tensors = {
+        "xyz": t(n, 3), "f_dc": t(n, 1, 3), "f_rest": t(n, 15, 3),
+        "scaling": t(n, 3), "rotation": t(n, 4), "opacity": t(n, 1),
+    }
+    group_order = ["xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation"]
+    opt_sd = {
+        "state": {
+            i: {
+                "step": torch.tensor(321.0),
+                "exp_avg": torch.zeros_like(tensors[nm]) + 0.25,
+                "exp_avg_sq": torch.zeros_like(tensors[nm]) + 0.5,
+            }
+            for i, nm in enumerate(group_order)
+        },
+        "param_groups": [
+            {"params": [i], "name": nm} for i, nm in enumerate(group_order)
+        ],
+    }
+    capture = (
+        2,  # active_sh_degree
+        tensors["xyz"], tensors["f_dc"], tensors["f_rest"],
+        tensors["scaling"], tensors["rotation"], tensors["opacity"],
+        t(n),  # max_radii2D
+        t(n, 1),  # xyz_gradient_accum
+        t(n, 1),  # denom
+        opt_sd,
+        3.5,  # spatial_lr_scale
+    )
+    path = str(tmp_path / "chkpnt777.pth")
+    torch.save((capture, 777), path)
+
+    tx = make_optimizer(OptimizationParams(), 3.5)
+
+    def make_template(cap, max_sh, lr_scale):
+        s = create_empty(cap, max_sh, lr_scale)
+        return s, tx.init(s.params)
+
+    state, opt_state, it = load_reference_checkpoint(path, make_template)
+    assert it == 777
+    assert state.capacity == 64 and int(state.num_active) == n
+    assert state.max_sh_degree == 3 and int(state.active_sh_degree) == 2
+    assert state.spatial_lr_scale == 3.5
+    np.testing.assert_allclose(
+        np.asarray(state.params["xyz"][:n]), tensors["xyz"].numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.params["features_rest"][:n]),
+        tensors["f_rest"].numpy(),
+    )
+    assert not np.asarray(state.active[n:]).any()
+    adam = opt_state[0]
+    assert int(adam.count) == 321
+    np.testing.assert_allclose(np.asarray(adam.mu["scaling"][:n]), 0.25)
+    np.testing.assert_allclose(np.asarray(adam.nu["opacity"][:n]), 0.5)
+    np.testing.assert_allclose(np.asarray(adam.mu["xyz"][n:]), 0.0)
