@@ -206,6 +206,21 @@ class TrainerLogs:
                                         f"{split}/{mk}", mv, it
                                     )
 
+    def write_eval_media(self, iteration, images, opacities):
+        """Rendered views (first 5), the opacity histogram and the point
+        count at test iterations (reference training_report,
+        train.py:163-190). TB only; no-op without it."""
+        if self._tb is None:
+            return
+        for name, img in images[:5]:
+            self._tb.add_image(
+                f"renders/{name}", np.asarray(img), iteration,
+                dataformats="HWC",
+            )
+        self._tb.add_histogram("scene/opacity", np.asarray(opacities),
+                               iteration)
+        self._tb.add_scalar("scene/total_points", len(opacities), iteration)
+
     def close(self):
         if self._tb is not None:
             self._tb.close()
@@ -508,11 +523,17 @@ def training(
             )
 
         if iteration in testing_iterations:
+            media = []
             report = evaluate_state(
-                state, scene, render_fn, bg, num_train_views=5
+                state, scene, render_fn, bg, num_train_views=5, media=media
             )
             print(f"[ITER {iteration}] eval: {report}", flush=True)
             logs.write({"iter": iteration, "eval": report})
+            active = np.asarray(state.active)
+            opacities = 1.0 / (
+                1.0 + np.exp(-np.asarray(state.params["opacity"])[active, 0])
+            )
+            logs.write_eval_media(iteration, media, opacities)
 
         if iteration in saving_iterations:
             print(f"[ITER {iteration}] Saving Gaussians", flush=True)
@@ -589,9 +610,12 @@ def training(
     return scene, state
 
 
-def evaluate_state(state, scene, render_fn, bg, num_train_views=5):
+def evaluate_state(
+    state, scene, render_fn, bg, num_train_views=5, media=None
+):
     """Test-split + first-k-train-view L1/PSNR
-    (reference training_report, train.py:156-191)."""
+    (reference training_report, train.py:156-191). When ``media`` is a
+    list, up to 5 (name, HWC image) pairs are appended for TB logging."""
     report = {}
     configs = [
         ("test", scene.get_test_cameras()),
@@ -601,12 +625,14 @@ def evaluate_state(state, scene, render_fn, bg, num_train_views=5):
         if not cams:
             continue
         l1s, psnrs = [], []
-        for cam in cams:
+        for i, cam in enumerate(cams):
             img = render_fn(state, cam.to_render_camera(), bg)
             img = jnp.clip(img, 0.0, 1.0)
             gt = jnp.clip(jnp.asarray(cam.image), 0.0, 1.0)
             l1s.append(float(l1_loss(img, gt)))
             psnrs.append(float(psnr(img, gt)))
+            if media is not None and i < 5 and len(media) < 5:
+                media.append((f"{name}_{cam.image_name}", np.asarray(img)))
         report[name] = {
             "l1": float(np.mean(l1s)),
             "psnr": float(np.mean(psnrs)),
