@@ -445,6 +445,14 @@ def training(
         it_times.extend([dt / n_stepped] * n_stepped)
         iteration += n_stepped - 1
 
+        # kick the next-bucket background compile as soon as occupancy
+        # crosses the watermark — lead time before the growth (at 0.9) is
+        # what lets the compile finish off the critical path
+        if mesh is None and int(
+            metrics["num_active"]
+        ) > WARM_FRACTION * state.capacity:
+            start_capacity_warm(state.capacity * 2)
+
         if not np.isfinite(loss):
             # crash forensics (the reference's rasterizer debug dump,
             # reference README.md:143-146): with --debug, snapshot the full
@@ -551,8 +559,6 @@ def training(
                     state, opt_state, k, use_screen_size=use_screen
                 )
                 n_act = int(state.num_active)
-                if n_act > WARM_FRACTION * state.capacity:
-                    start_capacity_warm(state.capacity * 2)
                 if int(dstats.num_dropped) > 0 or n_act > GROW_WATERMARK * state.capacity:
                     old_c, new_c = state.capacity, state.capacity * 2
                     warmed = (
