@@ -24,6 +24,9 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if gauss is None:
         gauss = len(devices) // data
+    if data * gauss < len(devices) and devices is not None:
+        # an explicit smaller mesh uses a prefix of the available devices
+        devices = devices[: data * gauss]
     if data * gauss != len(devices):
         raise ValueError(
             f"mesh {data}x{gauss} does not match {len(devices)} devices"

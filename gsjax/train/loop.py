@@ -70,14 +70,19 @@ def grow_opt_state(opt_state, old_capacity: int, new_capacity: int):
 
 def _grown_abstract(tree, old_capacity: int, new_capacity: int):
     """ShapeDtypeStructs for ``tree`` with every per-Gaussian leading dim
-    re-bucketed to ``new_capacity`` (for AOT-lowering the next bucket)."""
+    re-bucketed to ``new_capacity`` (for AOT-lowering the next bucket).
+    Sharded leaves keep their NamedSharding — the partition spec applies
+    unchanged to the grown dim (2x growth keeps divisibility)."""
 
     def conv(x):
         shape = tuple(jnp.shape(x))
         if len(shape) >= 1 and shape[0] == old_capacity:
             shape = (new_capacity,) + shape[1:]
         dtype = getattr(x, "dtype", None) or jnp.result_type(x)
-        return jax.ShapeDtypeStruct(shape, dtype)
+        sharding = getattr(x, "sharding", None)
+        if sharding is not None and not hasattr(sharding, "spec"):
+            sharding = None  # single-device default sharding: let jit pick
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
 
     return jax.tree.map(conv, tree)
 
@@ -345,10 +350,15 @@ def training(
         return (new_c, dataclasses.astuple(settings), n_chain)
 
     def start_capacity_warm(new_c: int):
-        if mesh is not None:
-            return
         cfg_now = cfg
-        if chained is not None:
+        if mesh is not None:
+            from gsjax.parallel import make_sharded_train_step
+
+            build = lambda: make_sharded_train_step(  # noqa: E731
+                tx, mesh, cam_batch, images, cfg_now
+            )
+            cam_abs = jax.ShapeDtypeStruct((data_shards,), jnp.int32)
+        elif chained is not None:
             build = lambda: make_train_step_chained(  # noqa: E731
                 tx, cam_batch, images, cfg_now, n_chain
             )
@@ -448,9 +458,7 @@ def training(
         # kick the next-bucket background compile as soon as occupancy
         # crosses the watermark — lead time before the growth (at 0.9) is
         # what lets the compile finish off the critical path
-        if mesh is None and int(
-            metrics["num_active"]
-        ) > WARM_FRACTION * state.capacity:
+        if int(metrics["num_active"]) > WARM_FRACTION * state.capacity:
             start_capacity_warm(state.capacity * 2)
 
         if not np.isfinite(loss):
@@ -561,11 +569,7 @@ def training(
                 n_act = int(state.num_active)
                 if int(dstats.num_dropped) > 0 or n_act > GROW_WATERMARK * state.capacity:
                     old_c, new_c = state.capacity, state.capacity * 2
-                    warmed = (
-                        warmer.take(capacity_warm_key(new_c))
-                        if mesh is None
-                        else None
-                    )
+                    warmed = warmer.take(capacity_warm_key(new_c))
                     print(
                         f"[ITER {iteration}] growing capacity {old_c} -> {new_c}"
                         + (" (precompiled)" if warmed is not None else ""),

@@ -271,3 +271,30 @@ def test_load_reference_torch_checkpoint(tmp_path):
     np.testing.assert_allclose(np.asarray(adam.mu["scaling"][:n]), 0.25)
     np.testing.assert_allclose(np.asarray(adam.nu["opacity"][:n]), 0.5)
     np.testing.assert_allclose(np.asarray(adam.mu["xyz"][n:]), 0.0)
+
+
+def test_training_loop_sharded_with_growth(blender_scene, tmp_path):
+    """The full training() driver on a virtual 2x2 mesh: sharded steps,
+    densification, and a capacity growth (with the background warm path)
+    must run end to end and keep improving the loss."""
+    from gsjax.train.loop import training
+
+    src, _ = blender_scene
+    model = ModelParams(
+        source_path=src, model_path=str(tmp_path / "out_sharded")
+    )
+    opt = OptimizationParams(
+        iterations=160,
+        densification_interval=50,
+        densify_from_iter=49,
+        densify_until_iter=150,
+        opacity_reset_interval=10_000,
+        position_lr_max_steps=160,
+    )
+    scene, state = training(
+        model, opt, PipelineParams(),
+        testing_iterations=(160,), saving_iterations=(),
+        quiet=True, capacity=64, data_shards=2, gauss_shards=2,
+    )
+    assert int(state.num_active) > 40  # densification actually ran
+    assert state.capacity >= 64
