@@ -423,3 +423,25 @@ def test_exact_depth_sort_matches_quantized():
     np.testing.assert_allclose(
         np.asarray(out_e["render"]), np.asarray(out_q["render"]), atol=1e-5
     )
+
+
+def test_odd_resolution_renders():
+    """Resolutions that are not multiples of the 16px tile must render
+    without crashing, match the naive oracle, and keep the padding region
+    out of the output (verify-skill edge-case list)."""
+    w, h = 72, 40  # 4.5 x 2.5 tiles
+    rng = np.random.default_rng(2)
+    from conftest import make_test_camera, make_test_gaussians
+
+    cam = make_test_camera(width=w, height=h).to_render_camera()
+    gs = tuple(jnp.asarray(g) for g in make_test_gaussians(64, rng))
+    out = render(
+        cam, *gs, 3, BG,
+        RasterizeSettings(max_pairs=1 << 14, max_splats_per_tile=256),
+    )
+    assert out["render"].shape == (h, w, 3)
+    assert np.isfinite(np.asarray(out["render"])).all()
+    ref = render_naive(cam, *gs, 3, BG)
+    np.testing.assert_allclose(
+        np.asarray(out["render"]), np.asarray(ref["render"]), atol=5e-3
+    )
