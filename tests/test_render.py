@@ -445,3 +445,53 @@ def test_odd_resolution_renders():
     np.testing.assert_allclose(
         np.asarray(out["render"]), np.asarray(ref["render"]), atol=5e-3
     )
+
+
+def test_binning_invariants_random_cases():
+    """Property test over random footprints (one compiled shape): every
+    non-dropped pair lands in exactly one tile segment, segments are
+    depth-sorted, and counts reconcile with the caps."""
+    from gsjax.ops.projection import Splats
+
+    n, mt, tx_, ty_ = 128, 8, 4, 4
+
+    @jax.jit
+    def bins_of(depths, rect_min, rect_max, touched):
+        s = Splats(
+            means2d=jnp.zeros((n, 2)), depths=depths,
+            conics=jnp.zeros((n, 3)), colors=jnp.zeros((n, 3)),
+            opacities=jnp.zeros(n), radii=jnp.ones(n, jnp.int32),
+            rect_min=rect_min, rect_max=rect_max, tiles_touched=touched,
+        )
+        return build_tile_bins(s, tx_, ty_, 1 << 12, max_tiles_per_gauss=mt)
+
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        rect_min = rng.integers(0, 3, size=(n, 2))
+        extent = rng.integers(1, 3, size=(n, 2))
+        rect_max = np.minimum(rect_min + extent, 4)
+        touched = (rect_max - rect_min).prod(axis=1)
+        depths = rng.uniform(1.0, 9.0, n).astype(np.float32)
+        b = bins_of(jnp.asarray(depths), jnp.asarray(rect_min, jnp.int32),
+                    jnp.asarray(rect_max, jnp.int32),
+                    jnp.asarray(touched, jnp.int32))
+        start = np.asarray(b.tile_start)
+        num_pairs = int(b.num_pairs)
+        capped = np.minimum(touched, mt)
+        assert num_pairs == capped.sum()
+        assert int(b.num_mt_capped) == (touched - capped).sum()
+        assert start[-1] == num_pairs and (np.diff(start) >= 0).all()
+        pg = np.asarray(b.pair_gauss)[:num_pairs]
+        pt = np.asarray(b.pair_tile)[:num_pairs]
+        # each gaussian appears at most once per tile, within its rect
+        for t in range(tx_ * ty_):
+            seg = pg[start[t]:start[t + 1]]
+            assert len(np.unique(seg)) == len(seg), f"dup gaussian in tile {t}"
+            d = depths[seg]
+            assert (np.diff(d) >= -1e-5).all(), f"tile {t} not depth sorted"
+            x, y = t % tx_, t // tx_
+            assert (rect_min[seg, 0] <= x).all() and (x < rect_max[seg, 0]).all()
+            assert (rect_min[seg, 1] <= y).all() and (y < rect_max[seg, 1]).all()
+        # pair counts per gaussian match the cap
+        counts = np.bincount(pg, minlength=n)
+        np.testing.assert_array_equal(counts, capped)

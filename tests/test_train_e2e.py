@@ -298,3 +298,21 @@ def test_training_loop_sharded_with_growth(blender_scene, tmp_path):
     )
     assert int(state.num_active) > 40  # densification actually ran
     assert state.capacity >= 64
+
+
+def test_default_rasterize_settings_heuristics():
+    """Budget heuristics: budgets are powers of two, scale with capacity,
+    and the tile cap stays within [16, 128] and within the tile count."""
+    from gsjax.train.loop import default_rasterize_settings
+
+    for w, h, cap in [(800, 800, 1 << 14), (1920, 1080, 1 << 20),
+                      (64, 64, 256), (3840, 2160, 1 << 21)]:
+        s = default_rasterize_settings(w, h, cap)
+        assert s.max_pairs & (s.max_pairs - 1) == 0
+        assert s.max_pairs >= min(1 << 24, cap * 4) or s.max_pairs == 1 << 24
+        mt = s.max_tiles_per_gauss
+        assert mt & (mt - 1) == 0 and mt <= 128
+        tiles = -(-w // 16) * -(-h // 16)
+        assert mt <= 2 ** int(np.ceil(np.log2(tiles)))
+        # settings construct a valid RasterizeSettings (validators run)
+        assert s.max_splats_per_tile % s.chunk == 0
