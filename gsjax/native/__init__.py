@@ -9,6 +9,7 @@ on first use with the system g++ and cached next to the source).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,20 +18,29 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "simple_knn.cpp")
-_LIB = os.path.join(_HERE, "libsimple_knn.so")
 _lock = threading.Lock()
 _lib = None
 _lib_error: Exception | None = None
 
 
-def _build() -> str:
+def _lib_path() -> str:
+    # The build cache is keyed on a hash of the source (git checkouts do
+    # not preserve mtimes, so an mtime comparison can let a stale — or
+    # wrong-arch — binary shadow newer source). Binaries are never
+    # committed; each source revision compiles to its own file name.
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"libsimple_knn-{digest}.so")
+
+
+def _build(lib_path: str) -> str:
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", _LIB + ".tmp", _SRC, "-lpthread",
+        "-o", lib_path + ".tmp", _SRC, "-lpthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_LIB + ".tmp", _LIB)
-    return _LIB
+    os.replace(lib_path + ".tmp", lib_path)
+    return lib_path
 
 
 def load():
@@ -42,11 +52,10 @@ def load():
         if _lib_error is not None:
             raise _lib_error
         try:
-            if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-            ):
-                _build()
-            lib = ctypes.CDLL(_LIB)
+            lib_path = _lib_path()
+            if not os.path.exists(lib_path):
+                _build(lib_path)
+            lib = ctypes.CDLL(lib_path)
             lib.knn_mean_sq_dist.argtypes = [
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int32,

@@ -63,8 +63,15 @@ def composite_tiles(
     renderer whose tile grid covers only a strip of the global image while
     ``means2d`` stay in global pixel coordinates. May be traced.
 
-    Returns ``(tile_colors (T, 256, 3), tile_transmittance (T, 256))``.
-    Differentiable w.r.t. means2d / conics / colors / opacities.
+    Returns ``(tile_colors (T, 256, 3), tile_transmittance (T, 256),
+    num_tile_capped ())``: the scan walks exactly
+    ``max_splats_per_tile // chunk`` rounds, so a tile deeper than the
+    budget loses its tail — ``num_tile_capped`` counts those lost pairs
+    (only on tiles where some pixel was still accumulating, i.e. where the
+    truncation can actually change the image; the Pallas kernel has no such
+    cap, so a non-zero count is where the two backends may diverge and the
+    trainer's budget-growth must react). Differentiable w.r.t.
+    means2d / conics / colors / opacities.
     """
     num_tiles = tiles_x * tiles_y
     pix = _tile_pixel_coords(tiles_x, tiles_y) + jnp.asarray(
@@ -121,11 +128,14 @@ def composite_tiles(
 
     shape = (num_tiles, TILE * TILE)
     init = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, bool))
-    (T_final, _), color_chunks = jax.lax.scan(
+    (T_final, done_final), color_chunks = jax.lax.scan(
         step, init, jnp.arange(n_rounds, dtype=jnp.int32)
     )
     tile_colors = color_chunks.sum(axis=0)  # (T, 256, 3)
-    return tile_colors, T_final
+    overflow = jnp.maximum(count - n_rounds * chunk, 0)
+    live = ~jnp.all(done_final, axis=1)  # some pixel still accumulating
+    num_tile_capped = jnp.sum(jnp.where(live, overflow, 0))
+    return tile_colors, T_final, num_tile_capped
 
 
 def assemble_image(tile_colors, tile_T, bg, tiles_x, tiles_y, width, height):

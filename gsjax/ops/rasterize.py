@@ -117,6 +117,7 @@ def render(
         import jax
 
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    num_tile_capped = jnp.int32(0)  # pallas walks every pair: never caps
     if backend == "pallas":
         from gsjax.ops.pallas_composite import composite_pallas
 
@@ -128,7 +129,7 @@ def render(
             grad_reduce=settings.grad_reduce,
         )
     else:
-        tile_colors, tile_T = composite_tiles(
+        tile_colors, tile_T, num_tile_capped = composite_tiles(
             bins.pair_gauss,
             bins.tile_start,
             splats.means2d,
@@ -151,6 +152,7 @@ def render(
         "final_T": final_T,
         "num_dropped": bins.num_dropped,
         "num_mt_capped": bins.num_mt_capped,
+        "num_tile_capped": num_tile_capped,
     }
 
 
@@ -240,6 +242,7 @@ def render_naive(
         "final_T": final_T.reshape(h, w),
         "num_dropped": jnp.int32(0),
         "num_mt_capped": jnp.int32(0),
+        "num_tile_capped": jnp.int32(0),
     }
 
 

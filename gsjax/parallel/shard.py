@@ -98,7 +98,8 @@ def _render_strip(
     """Render this chip's tile strip from all chips' splats.
 
     Returns (strip_image (strips_y*16, W, 3), strip_T, radii_shard,
-    num_dropped, num_mt_capped). Strip row offset = axis_index * strips_y tiles.
+    num_dropped, num_mt_capped, num_tile_capped). Strip row offset =
+    axis_index * strips_y tiles.
     """
     tiles_x, _ = num_tiles(camera.width, camera.height)
     means3d, scales, quats, opac, shs = activated_params(params_shard)
@@ -133,7 +134,7 @@ def _render_strip(
     bins = build_tile_bins(
         local, tiles_x, strips_y, max(settings.max_pairs // gauss_size, 1024)
     )
-    tile_colors, tile_T = composite_tiles(
+    tile_colors, tile_T, tile_capped = composite_tiles(
         bins.pair_gauss,
         bins.tile_start,
         alls.means2d,
@@ -149,7 +150,8 @@ def _render_strip(
     strip_img, strip_T = assemble_image(
         tile_colors, tile_T, bg, tiles_x, strips_y, camera.width, strips_y * TILE
     )
-    return strip_img, strip_T, splats.radii, bins.num_dropped, bins.num_mt_capped
+    return (strip_img, strip_T, splats.radii, bins.num_dropped,
+            bins.num_mt_capped, tile_capped)
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +239,7 @@ def make_sharded_render(
     )
     def body(params, active, sh_degree, camera, bg):
         offset = jnp.zeros((params["xyz"].shape[0], 2))
-        strip, strip_T, _, _, _ = _render_strip(
+        strip, strip_T, _, _, _, _ = _render_strip(
             params, active, sh_degree, camera, offset, bg,
             settings, strips_y, gauss_size,
         )
@@ -300,6 +302,7 @@ def make_sharded_train_step(
             P(),  # l1
             P(),  # dropped pairs
             P(),  # mt-capped pairs
+            P(),  # tile-capped pairs (xla compositor truncation)
         ),
         check_vma=False,
     )
@@ -336,7 +339,7 @@ def make_sharded_train_step(
             loss = (1-lam)*L1 + lam*(1-SSIM) = psum(partial) + lam, with
             partial = ((1-lam)*l1_sum - lam*ssim_sum) / n_pix.
             """
-            strip, _, radii, dropped, capped = _render_strip(
+            strip, _, radii, dropped, capped, tile_capped = _render_strip(
                 params, active, sh_degree, camera, offset, bg,
                 settings, strips_y, gauss_size,
             )
@@ -344,10 +347,10 @@ def make_sharded_train_step(
             l1_sum = jnp.sum(jnp.abs(strip - gt_strip) * row_valid[:, None, None])
             ssim_sum = _ssim_partial_sum(strip, gt_strip, row_valid, "gauss")
             partial = ((1.0 - lam) * l1_sum - lam * ssim_sum) / n_pix
-            return partial, (l1_sum, radii, dropped, capped)
+            return partial, (l1_sum, radii, dropped, capped, tile_capped)
 
         offset = jnp.zeros((params["xyz"].shape[0], 2))
-        (partial, (l1_sum, radii, dropped, capped)), (g_params, g_offset) = (
+        (partial, (l1_sum, radii, dropped, capped, tile_capped)), (g_params, g_offset) = (
             jax.value_and_grad(local_loss, argnums=(0, 1), has_aux=True)(
                 params, offset
             )
@@ -361,6 +364,7 @@ def make_sharded_train_step(
         l1 = lax.pmean(l1, "data")
         dropped = lax.psum(dropped, ("data",))
         capped = lax.psum(capped, ("data",))
+        tile_capped = lax.psum(tile_capped, ("data", "gauss"))
 
         # densification stats: accumulate over all cameras in the batch
         visible = radii > 0
@@ -371,12 +375,14 @@ def make_sharded_train_step(
         denom_inc = lax.psum(visible.astype(jnp.float32), "data")
         radii_max = lax.pmax(radii, "data")
 
-        return loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped, capped
+        return (loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped,
+                capped, tile_capped)
 
     @jax.jit
     def step(state: GaussianState, opt_state, cam_idx, key):
         keys = jax.random.split(key, data_size)
-        loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped, capped = body(
+        (loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped, capped,
+         tile_capped) = body(
             state.params,
             state.active,
             state.active_sh_degree,
@@ -403,6 +409,7 @@ def make_sharded_train_step(
             "l1": l1,
             "num_dropped_pairs": dropped,
             "num_mt_capped_pairs": capped,
+            "num_tile_capped": tile_capped,
             "num_active": new_state.num_active,
         }
         return new_state, new_opt_state, metrics

@@ -147,5 +147,12 @@ def load_reference_checkpoint(path, make_template, capacity=None):
     adam = adam._replace(
         count=jnp.asarray(count, adam.count.dtype), mu=mu, nu=nu
     )
-    opt_state = (adam,) + tuple(opt_state[1:])
+    # The group-LR schedule is driven by its own step counter (the
+    # reference drives update_learning_rate from the loop iteration,
+    # train.py:69); leaving it at 0 would silently restart the xyz
+    # exponential decay from iteration 1 after a cross-framework resume.
+    group_lr = opt_state[1]._replace(
+        count=jnp.asarray(int(iteration), opt_state[1].count.dtype)
+    )
+    opt_state = (adam, group_lr) + tuple(opt_state[2:])
     return state, opt_state, int(iteration)

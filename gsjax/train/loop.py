@@ -96,7 +96,10 @@ def _with_fallback(compiled, builder):
     def call(*args):
         try:
             return holder["fn"](*args)
-        except Exception as e:
+        # only argument-aval mismatches (TypeError/ValueError from AOT arg
+        # checking) trigger the fallback; a genuine runtime failure (device
+        # error, NaN guard) must propagate, not silently re-run the step
+        except (TypeError, ValueError) as e:
             if holder["is_compiled"]:
                 print(
                     f"[warm] precompiled step rejected args "
@@ -267,13 +270,25 @@ def training(
     extent = float(scene.cameras_extent)
 
     train_cams = scene.get_train_cameras()
-    sizes = {(c.width, c.height) for c in train_cams}
-    if len(sizes) != 1:
-        raise ValueError(
-            f"mixed training resolutions {sizes}: gsjax compiles one step per "
-            "resolution; resize the dataset or pass --resolution"
-        )
-    width, height = next(iter(sizes))
+    # Mixed per-camera resolutions (the reference resizes each camera
+    # independently, camera_utils.py:19-52) bucket by size: the largest
+    # bucket keeps the chained fast path; other buckets get their own
+    # compiled step, built lazily on first use.
+    size_buckets: dict = {}
+    for i, c in enumerate(train_cams):
+        size_buckets.setdefault((c.width, c.height), []).append(i)
+    bucket_sizes = sorted(
+        size_buckets, key=lambda s: (-len(size_buckets[s]), s)
+    )
+    bucket_of = {}  # global camera index -> (bucket id, local index)
+    bucket_cams = []
+    for b, size in enumerate(bucket_sizes):
+        idxs = size_buckets[size]
+        bucket_cams.append([train_cams[i] for i in idxs])
+        for j, i in enumerate(idxs):
+            bucket_of[i] = (b, j)
+    multi_res = len(bucket_sizes) > 1
+    width, height = bucket_sizes[0]
 
     if settings is None:
         settings = default_rasterize_settings(width, height, state.capacity)
@@ -287,8 +302,8 @@ def training(
         convert_shs_python=pipe.convert_SHs_python,
     )
 
-    cam_batch = stack_render_cameras(train_cams)
-    images = stack_images(train_cams)
+    cam_batch = stack_render_cameras(bucket_cams[0])
+    images = stack_images(bucket_cams[0])
 
     tx = make_optimizer(opt, state.spatial_lr_scale)
     opt_state = tx.init(state.params)
@@ -312,6 +327,11 @@ def training(
         print(f"Restored checkpoint at iteration {first_iter}")
 
     mesh = None
+    if data_shards * gauss_shards > 1 and multi_res:
+        raise ValueError(
+            "sharded training requires a single training resolution; "
+            "pass --resolution to resize"
+        )
     if data_shards * gauss_shards > 1:
         from gsjax.parallel import (
             make_mesh,
@@ -331,11 +351,28 @@ def training(
 
     step = build_step()
     n_chain = max(1, int(steps_per_dispatch)) if mesh is None else 1
+    if multi_res:
+        n_chain = 1  # chaining assumes one camera-batch shape
     chained = (
         make_train_step_chained(tx, cam_batch, images, cfg, n_chain)
         if n_chain > 1
         else None
     )
+    # lazily-compiled steps for the non-primary resolution buckets; cleared
+    # whenever settings or capacity change (the primary rebuild sites)
+    extra_bucket_steps: dict = {}
+
+    def bucket_step(b: int):
+        fn = extra_bucket_steps.get(b)
+        if fn is None:
+            fn = make_train_step(
+                tx,
+                stack_render_cameras(bucket_cams[b]),
+                stack_images(bucket_cams[b]),
+                cfg,
+            )
+            extra_bucket_steps[b] = fn
+        return fn
     densify_step, reset_step = make_densify_step(opt, cfg)
     render_fn = make_render_fn(cfg)
     bg = jnp.full(3, 1.0 if model.white_background else 0.0, jnp.float32)
@@ -436,7 +473,8 @@ def training(
         t0 = time.time()
         if chained is not None and k_len == n_chain:
             cam_idxs = jnp.asarray(
-                [pop_camera() for _ in range(n_chain)], jnp.int32
+                [bucket_of[pop_camera()][1] for _ in range(n_chain)],
+                jnp.int32,
             )
             state, opt_state, metrics = chained(state, opt_state, cam_idxs, k)
             loss = float(metrics["loss_mean"])
@@ -446,9 +484,12 @@ def training(
                 cam_idx = jnp.asarray(
                     [pop_camera() for _ in range(data_shards)], jnp.int32
                 )
+                state, opt_state, metrics = step(state, opt_state, cam_idx, k)
             else:
-                cam_idx = jnp.int32(pop_camera())
-            state, opt_state, metrics = step(state, opt_state, cam_idx, k)
+                b, local = bucket_of[pop_camera()]
+                cam_idx = jnp.int32(local)
+                fn = step if b == 0 else bucket_step(b)
+                state, opt_state, metrics = fn(state, opt_state, cam_idx, k)
             loss = float(metrics["loss"])
             n_stepped = 1
         dt = time.time() - t0
@@ -492,25 +533,37 @@ def training(
         # the global pair budget, and the per-gaussian tile cap (whose
         # drops a bigger max_pairs alone can never clear).
         mt_capped = int(metrics.get("num_mt_capped_pairs", 0))
-        budget_dropped = int(metrics["num_dropped_pairs"]) - mt_capped
+        if "num_budget_dropped" in metrics:  # chained: per-step difference
+            budget_dropped = int(metrics["num_budget_dropped"])
+        else:
+            budget_dropped = int(metrics["num_dropped_pairs"]) - mt_capped
+        tile_capped = int(metrics.get("num_tile_capped", 0))
         grow_budget = budget_dropped > 0 and settings.max_pairs < (1 << 26)
         grow_mt = mt_capped > 0 and settings.max_tiles_per_gauss < 128
-        if grow_budget or grow_mt:
+        # the XLA compositor's fixed scan depth truncated a live tile (the
+        # Pallas kernel never caps; this fires on CPU/sharded runs only)
+        grow_mspt = tile_capped > 0 and settings.max_splats_per_tile < (1 << 16)
+        if grow_budget or grow_mt or grow_mspt:
             new_budget = settings.max_pairs * (2 if grow_budget else 1)
             new_mt = settings.max_tiles_per_gauss * (2 if grow_mt else 1)
+            new_mspt = settings.max_splats_per_tile * (2 if grow_mspt else 1)
             print(
                 f"[ITER {iteration}] pair overflow "
-                f"(budget dropped {budget_dropped}, tile-capped {mt_capped}): "
+                f"(budget dropped {budget_dropped}, tile-capped {mt_capped}, "
+                f"tile-truncated {tile_capped}): "
                 f"max_pairs {settings.max_pairs} -> {new_budget}, "
-                f"tile cap {settings.max_tiles_per_gauss} -> {new_mt}",
+                f"tile cap {settings.max_tiles_per_gauss} -> {new_mt}, "
+                f"splats/tile {settings.max_splats_per_tile} -> {new_mspt}",
                 flush=True,
             )
             settings = dataclasses.replace(
-                settings, max_pairs=new_budget, max_tiles_per_gauss=new_mt
+                settings, max_pairs=new_budget, max_tiles_per_gauss=new_mt,
+                max_splats_per_tile=new_mspt,
             )
             cfg = dataclasses.replace(cfg, settings=settings)
             step = None
             step = build_step()
+            extra_bucket_steps.clear()
             if chained is not None:
                 chained = make_train_step_chained(
                     tx, cam_batch, images, cfg, n_chain
@@ -581,6 +634,7 @@ def training(
                         state = shard_gaussian_state(state, mesh)
                     step = None  # drop stale closure before recompile
                     step = build_step()
+                    extra_bucket_steps.clear()
                     if chained is not None:
                         if warmed is not None:
                             cfg_now = cfg

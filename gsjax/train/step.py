@@ -94,11 +94,57 @@ def render_state(
 
 
 def make_render_fn(cfg: TrainConfig):
-    """A jitted (state, camera, bg) -> image function for eval/viewer use."""
+    """A jitted (state, camera, bg) -> image function for eval/viewer use.
 
-    @jax.jit
-    def render_fn(state: GaussianState, camera: RenderCamera, bg):
-        return render_state(state, camera, bg, cfg.settings)["render"]
+    ``scale_modifier`` is a traced scalar (the viewer slider changes it per
+    request without recompiling); the ``shs_python`` / ``cov3d_python``
+    dual-path toggles are static — each combination compiles once on first
+    use, matching the reference's live ``pipe`` mutation from the wire
+    message (reference train.py:57-60, network_gui.py:70-73)."""
+
+    @functools.partial(
+        jax.jit, static_argnames=("shs_python", "cov3d_python")
+    )
+    def render_fn(
+        state: GaussianState,
+        camera: RenderCamera,
+        bg,
+        scale_modifier=1.0,
+        *,
+        shs_python: bool = False,
+        cov3d_python: bool = False,
+    ):
+        means3d, scales, quats, opac, shs = activated(state)
+        cov3d = colors = None
+        if cov3d_python:
+            from gsjax.utils.math import build_covariance, strip_symmetric
+
+            cov3d = strip_symmetric(
+                build_covariance(scales, quats, scale_modifier)
+            )
+        if shs_python:
+            from gsjax.utils.math import safe_normalize
+            from gsjax.utils.sh import eval_sh
+
+            dirs = safe_normalize(means3d - camera.camera_center[None, :])
+            colors = jnp.maximum(
+                eval_sh(shs, dirs, state.active_sh_degree) + 0.5, 0.0
+            )
+        return render(
+            camera,
+            means3d,
+            scales,
+            quats,
+            opac,
+            shs,
+            state.active_sh_degree,
+            bg,
+            cfg.settings,
+            scale_modifier=scale_modifier,
+            active_mask=state.active,
+            cov3d_precomp=cov3d,
+            colors_precomp=colors,
+        )["render"]
 
     return render_fn
 
@@ -171,6 +217,7 @@ def _train_step_body(
         "l1": ll1,
         "num_dropped_pairs": out["num_dropped"],
         "num_mt_capped_pairs": out["num_mt_capped"],
+        "num_tile_capped": out["num_tile_capped"],
         "num_active": new_state.num_active,
     }
     return new_state, new_opt_state, metrics
@@ -240,6 +287,13 @@ def make_train_step_chained(
         metrics["loss_mean"] = jnp.mean(ms["loss"])
         metrics["num_dropped_pairs"] = jnp.max(ms["num_dropped_pairs"])
         metrics["num_mt_capped_pairs"] = jnp.max(ms["num_mt_capped_pairs"])
+        metrics["num_tile_capped"] = jnp.max(ms["num_tile_capped"])
+        # budget drops must be differenced per inner step, then reduced:
+        # max(dropped) - max(capped) across different steps can read 0 even
+        # when one step dropped pairs to the global budget
+        metrics["num_budget_dropped"] = jnp.max(
+            ms["num_dropped_pairs"] - ms["num_mt_capped_pairs"]
+        )
         return state, opt_state, metrics
 
     return chained

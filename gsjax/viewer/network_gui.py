@@ -92,14 +92,21 @@ class ViewerBridge:
         self.conn.sendall(len(verify).to_bytes(4, "little"))
         self.conn.sendall(bytes(verify, "ascii"))
 
-    def receive(self) -> Tuple[Optional[RenderCamera], bool, bool, float]:
+    def receive(
+        self,
+    ) -> Tuple[Optional[RenderCamera], bool, bool, bool, bool, float]:
+        """Returns (camera, do_training, shs_python, rot_scale_python,
+        keep_alive, scaling_modifier) — the reference's tuple shape
+        (network_gui.py:57-84)."""
         msg = self.read()
         cam = _camera_from_message(msg)
         if cam is None:
-            return None, False, False, 1.0
+            return None, False, False, False, False, 1.0
         return (
             cam,
             bool(msg["train"]),
+            bool(msg.get("shs_python", False)),
+            bool(msg.get("rot_scale_python", False)),
             bool(msg["keep_alive"]),
             float(msg["scaling_modifier"]),
         )
@@ -107,15 +114,23 @@ class ViewerBridge:
     def poll(self, iteration, state, render_fn):
         """Serve viewer requests; blocks while the viewer pauses training.
         Any protocol error drops the connection and training continues
-        (reference: train.py:64-65)."""
+        (reference: train.py:64-65). The wire message's scaling_modifier
+        and shs/rot_scale python-path toggles are applied to the live
+        render exactly as the reference does (train.py:57-60)."""
         if self.conn is None:
             self.try_connect()
         while self.conn is not None:
             try:
-                cam, do_training, keep_alive, scaling_modifier = self.receive()
+                (cam, do_training, shs_python, rot_scale_python, keep_alive,
+                 scaling_modifier) = self.receive()
                 image_bytes = None
                 if cam is not None:
-                    img = render_fn(state, cam, np.zeros(3, np.float32))
+                    img = render_fn(
+                        state, cam, np.zeros(3, np.float32),
+                        np.float32(scaling_modifier),
+                        shs_python=shs_python,
+                        cov3d_python=rot_scale_python,
+                    )
                     arr = np.asarray(img)
                     arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
                     image_bytes = memoryview(np.ascontiguousarray(arr))

@@ -59,9 +59,13 @@ def camera_from_c2w(c2w_gl, fov_x, width, height, uid, name):
 
 
 def make_blender_scene(
-    path, n_train=12, n_test=3, width=64, height=64, fov_x=0.9, white_bg=False
+    path, n_train=12, n_test=3, width=64, height=64, fov_x=0.9,
+    white_bg=False, size_fn=None,
 ):
-    """Write a complete Blender-format scene; returns the GT gaussians."""
+    """Write a complete Blender-format scene; returns the GT gaussians.
+
+    ``size_fn(i) -> (width, height)`` overrides the per-view image size
+    (for mixed-resolution scenes, like heterogeneous COLMAP captures)."""
     from PIL import Image
 
     gt = gt_gaussians()
@@ -72,9 +76,10 @@ def make_blender_scene(
         frames = []
         os.makedirs(os.path.join(path, split), exist_ok=True)
         for i in range(count):
+            w, h = size_fn(i) if size_fn is not None else (width, height)
             az = 2 * np.pi * (i + offset) / (n_train + n_test)
             c2w = ring_c2w_opengl(4.0, az)
-            cam = camera_from_c2w(c2w, fov_x, width, height, i, f"{split}_{i}")
+            cam = camera_from_c2w(c2w, fov_x, w, h, i, f"{split}_{i}")
             out = render_naive(
                 cam.to_render_camera(),
                 jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),

@@ -495,3 +495,44 @@ def test_binning_invariants_random_cases():
         # pair counts per gaussian match the cap
         counts = np.bincount(pg, minlength=n)
         np.testing.assert_array_equal(counts, capped)
+
+
+def test_tile_truncation_is_surfaced():
+    """A tile deeper than max_splats_per_tile must surface its drop count
+    on the XLA path (the Pallas kernel never caps — reference CUDA
+    allocates per frame and never drops, SURVEY.md §2.2 N1). With a
+    sufficient budget the counter is zero and the backends agree."""
+    rng = np.random.default_rng(7)
+    n = 96
+    cam = make_test_camera(width=32, height=32).to_render_camera()
+    # all gaussians centered on one tile, too faint to early-terminate
+    means = jnp.asarray(
+        np.array([0.0, 0.0, 6.0]) + rng.normal(size=(n, 3)) * 0.02,
+        jnp.float32,
+    )
+    scales = jnp.full((n, 3), 0.15, jnp.float32)
+    quats = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (n, 1))
+    ops = jnp.full((n,), 0.02, jnp.float32)
+    shs = jnp.asarray(rng.uniform(0.2, 0.6, size=(n, 16, 3)), jnp.float32)
+
+    def run(mspt, backend):
+        s = RasterizeSettings(
+            max_pairs=1 << 14, max_splats_per_tile=mspt, chunk=32,
+            backend=backend,
+        )
+        return render(cam, means, scales, quats, ops, shs, 3, BG, s)
+
+    tight = run(32, "xla")
+    assert int(tight["num_tile_capped"]) > 0  # the drop is surfaced
+    roomy = run(128, "xla")
+    assert int(roomy["num_tile_capped"]) == 0
+    pallas = run(128, "pallas")
+    assert int(pallas["num_tile_capped"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(roomy["render"]), np.asarray(pallas["render"]), atol=5e-3
+    )
+    # the truncated render really lost light (that's what the counter flags)
+    assert (
+        np.asarray(tight["render"]).sum()
+        < np.asarray(roomy["render"]).sum() - 1e-3
+    )

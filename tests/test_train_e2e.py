@@ -316,3 +316,54 @@ def test_default_rasterize_settings_heuristics():
         assert mt <= 2 ** int(np.ceil(np.log2(tiles)))
         # settings construct a valid RasterizeSettings (validators run)
         assert s.max_splats_per_tile % s.chunk == 0
+
+
+def test_training_mixed_resolution_scene(tmp_path):
+    """Per-camera image sizes must train (the reference resizes each camera
+    independently, utils/camera_utils.py:19-52): cameras bucket by size,
+    each bucket gets its own compiled step."""
+    from fixtures import make_blender_scene
+    from gsjax.ops.rasterize import RasterizeSettings
+    from gsjax.train.loop import training
+
+    src = str(tmp_path / "scene")
+    os.makedirs(src)
+    make_blender_scene(
+        src, n_train=8, n_test=2, width=64, height=64,
+        size_fn=lambda i: (64, 64) if i % 2 == 0 else (48, 32),
+    )
+    model = ModelParams(
+        source_path=src, model_path=str(tmp_path / "out"), eval=True
+    )
+    opt = OptimizationParams(
+        iterations=60,
+        densify_from_iter=1_000,  # no densification in this short run
+        opacity_reset_interval=10_000,
+        position_lr_max_steps=60,
+    )
+    scene, state = training(
+        model,
+        opt,
+        PipelineParams(),
+        testing_iterations=(60,),
+        saving_iterations=(),
+        checkpoint_iterations=(),
+        quiet=True,
+        settings=RasterizeSettings(max_pairs=1 << 16, max_splats_per_tile=512),
+        capacity=256,
+        seed=0,
+    )
+    import jax.numpy as jnp
+
+    from gsjax.train.loop import evaluate_state
+    from gsjax.train.step import TrainConfig, make_render_fn
+
+    cfg = TrainConfig(
+        settings=RasterizeSettings(max_pairs=1 << 16, max_splats_per_tile=512)
+    )
+    report = evaluate_state(
+        state, scene, make_render_fn(cfg), jnp.zeros(3), num_train_views=4
+    )
+    # both resolutions rendered and the fit moved off init
+    assert report["train"]["n_views"] == 4
+    assert report["train"]["psnr"] > 15.0, report

@@ -22,7 +22,9 @@ W = H = 64
 SETTINGS = RasterizeSettings(max_pairs=1 << 14, max_splats_per_tile=256)
 
 
-def _client_message(cam, width, height, train=True, keep_alive=False):
+def _client_message(cam, width, height, train=True, keep_alive=False,
+                    scaling_modifier=1.0, shs_python=False,
+                    rot_scale_python=False):
     """Build the wire message a SIBR remote viewer would send for ``cam``,
     by inverting the bridge's convention transform."""
     rcam = cam.to_render_camera()
@@ -39,13 +41,27 @@ def _client_message(cam, width, height, train=True, keep_alive=False):
         "fov_x": cam.fov_x,
         "z_near": 0.01,
         "z_far": 100.0,
-        "shs_python": False,
-        "rot_scale_python": False,
+        "shs_python": shs_python,
+        "rot_scale_python": rot_scale_python,
         "keep_alive": keep_alive,
-        "scaling_modifier": 1.0,
+        "scaling_modifier": scaling_modifier,
         "view_matrix": wv.flatten().tolist(),
         "view_projection_matrix": fp.flatten().tolist(),
     }
+
+
+def _make_render_fn(gs):
+    """Matches the signature of gsjax.train.step.make_render_fn's product
+    (what the training loop hands the bridge)."""
+
+    def render_fn(state, rcam, bg, scale_modifier=1.0, *,
+                  shs_python=False, cov3d_python=False):
+        return render(
+            rcam, *gs, 3, jnp.asarray(bg), SETTINGS,
+            scale_modifier=scale_modifier,
+        )["render"]
+
+    return render_fn
 
 
 def test_viewer_bridge_serves_fake_sibr_client():
@@ -53,8 +69,7 @@ def test_viewer_bridge_serves_fake_sibr_client():
     cam = make_test_camera(width=W, height=H)
     gs = tuple(jnp.asarray(g) for g in make_test_gaussians(200, rng))
 
-    def render_fn(state, rcam, bg):
-        return render(rcam, *gs, 3, jnp.asarray(bg), SETTINGS)["render"]
+    render_fn = _make_render_fn(gs)
 
     bridge = ViewerBridge(port=0, source_path="/data/test_scene")
     port = bridge.listener.getsockname()[1]
@@ -62,7 +77,7 @@ def test_viewer_bridge_serves_fake_sibr_client():
     received = {}
 
     def client():
-        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
         payload = json.dumps(_client_message(cam, W, H)).encode("utf-8")
         s.sendall(len(payload).to_bytes(4, "little") + payload)
         img = b""
@@ -91,13 +106,61 @@ def test_viewer_bridge_serves_fake_sibr_client():
     np.testing.assert_array_equal(received["img"], expect)
 
 
+def test_viewer_scaling_modifier_applies_to_live_render():
+    """The wire message's scaling_modifier must reach the render (reference
+    train.py:57-60); a 0.3x-scaled render differs from the 1.0 render and
+    matches a direct render at 0.3."""
+    rng = np.random.default_rng(1)
+    cam = make_test_camera(width=W, height=H)
+    gs = tuple(jnp.asarray(g) for g in make_test_gaussians(200, rng))
+    render_fn = _make_render_fn(gs)
+
+    bridge = ViewerBridge(port=0, source_path="s")
+    port = bridge.listener.getsockname()[1]
+    received = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        msg = _client_message(cam, W, H, scaling_modifier=0.3,
+                              shs_python=True, rot_scale_python=True)
+        payload = json.dumps(msg).encode("utf-8")
+        s.sendall(len(payload).to_bytes(4, "little") + payload)
+        img = b""
+        while len(img) < W * H * 3:
+            img += s.recv(W * H * 3 - len(img))
+        n = int.from_bytes(s.recv(4), "little")
+        s.recv(n)
+        received["img"] = np.frombuffer(img, np.uint8).reshape(H, W, 3)
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    for _ in range(200):
+        bridge.poll(iteration=1, state=None, render_fn=render_fn)
+        if not t.is_alive():
+            break
+        time.sleep(0.05)
+    t.join(timeout=10)
+    bridge.close()
+
+    def as_bytes(img):
+        return (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+
+    scaled = as_bytes(render_fn(None, cam.to_render_camera(),
+                                np.zeros(3, np.float32), 0.3))
+    unscaled = as_bytes(render_fn(None, cam.to_render_camera(),
+                                  np.zeros(3, np.float32)))
+    np.testing.assert_array_equal(received["img"], scaled)
+    assert np.abs(scaled.astype(int) - unscaled.astype(int)).max() > 5
+
+
 def test_viewer_bridge_empty_resolution_is_noop_frame():
     bridge = ViewerBridge(port=0, source_path="x")
     port = bridge.listener.getsockname()[1]
     out = {}
 
     def client():
-        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
         msg = _client_message(make_test_camera(), 0, 0)
         payload = json.dumps(msg).encode("utf-8")
         s.sendall(len(payload).to_bytes(4, "little") + payload)
@@ -115,3 +178,36 @@ def test_viewer_bridge_empty_resolution_is_noop_frame():
     t.join(timeout=10)
     bridge.close()
     assert out["path"] == "x"
+
+
+def test_make_render_fn_toggles_and_modifier():
+    """gsjax.train.step.make_render_fn honors scale_modifier and the
+    shs/cov3d python-path toggles (the reference's live pipe mutation,
+    train.py:57-60): toggled paths agree with the fused path, and a
+    modified scale changes the image."""
+    import jax.numpy as jnp
+
+    from gsjax.models.gaussians import create_from_pcd
+    from gsjax.train.step import TrainConfig, make_render_fn
+
+    rng = np.random.default_rng(2)
+    n = 100
+    pts = rng.normal(size=(n, 3)) * 1.5 + np.array([0, 0, 7.0])
+    cols = rng.uniform(size=(n, 3))
+    state = create_from_pcd(pts, cols, spatial_lr_scale=1.0, capacity=128)
+    cam = make_test_camera(width=W, height=H).to_render_camera()
+    bg = jnp.zeros(3)
+
+    fn = make_render_fn(TrainConfig(settings=SETTINGS))
+    base = np.asarray(fn(state, cam, bg))
+    shs = np.asarray(fn(state, cam, bg, shs_python=True))
+    cov = np.asarray(fn(state, cam, bg, cov3d_python=True))
+    both = np.asarray(fn(state, cam, bg, 1.0, shs_python=True,
+                         cov3d_python=True))
+    np.testing.assert_allclose(shs, base, atol=1e-5)
+    np.testing.assert_allclose(cov, base, atol=1e-5)
+    np.testing.assert_allclose(both, base, atol=1e-5)
+    scaled = np.asarray(fn(state, cam, bg, 0.3))
+    scaled_cov = np.asarray(fn(state, cam, bg, 0.3, cov3d_python=True))
+    np.testing.assert_allclose(scaled_cov, scaled, atol=1e-5)
+    assert np.abs(scaled - base).max() > 0.02
