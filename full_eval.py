@@ -34,6 +34,16 @@ def main(argv=None):
     parser.add_argument("--mipnerf360", "-m360", default=None, type=str)
     parser.add_argument("--tanksandtemples", "-tat", default=None, type=str)
     parser.add_argument("--deepblending", "-db", default=None, type=str)
+    parser.add_argument(
+        "--scenes", nargs="+", default=None, type=str, metavar="DIR",
+        help="extra scene directories to evaluate verbatim (e.g. the "
+             "synthetic benchmark from scripts/make_synthetic_scene.py)",
+    )
+    parser.add_argument(
+        "--iterations", default=None, type=int,
+        help="override the 30k training schedule (snapshots scale with it)",
+    )
+    parser.add_argument("--extra_train_args", default="", type=str)
     args = parser.parse_args(argv)
 
     py = sys.executable
@@ -62,24 +72,36 @@ def main(argv=None):
             (os.path.join(args.deepblending, s), "")
             for s in deep_blending_scenes
         ]
+    if args.scenes:
+        scenes += [(s.rstrip("/"), "") for s in args.scenes]
     if not scenes:
         parser.error(
-            "pass at least one of --mipnerf360/--tanksandtemples/--deepblending"
+            "pass at least one of "
+            "--mipnerf360/--tanksandtemples/--deepblending/--scenes"
         )
 
-    common = "--quiet --eval --test_iterations -1"
+    snapshots = (7000, 30000)
+    iter_flag = ""
+    if args.iterations is not None:
+        snapshots = tuple(
+            sorted({min(7000, args.iterations), args.iterations})
+        )
+        save = " ".join(str(s) for s in snapshots)
+        iter_flag = f"--iterations {args.iterations} --save_iterations {save}"
+
+    common = f"--quiet --eval --test_iterations -1 {iter_flag}".strip()
     if not args.skip_training:
         for source, extra in scenes:
             name = os.path.basename(source)
             run(
                 f"{py} {train_py} -s {source} {extra} {common} "
-                f"-m {args.output_path}/{name}"
+                f"{args.extra_train_args} -m {args.output_path}/{name}"
             )
 
     if not args.skip_rendering:
         for source, _ in scenes:
             name = os.path.basename(source)
-            for it in (7000, 30000):
+            for it in snapshots:
                 run(
                     f"{py} {render_py} --iteration {it} -s {source} "
                     f"-m {args.output_path}/{name} --skip_train"

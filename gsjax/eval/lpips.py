@@ -35,8 +35,10 @@ _VGG16 = [64, 64, "P", 128, 128, "P", 256, 256, 256, "P", 512, 512, 512, "P",
           512, 512, 512]
 _TAPS = (1, 3, 6, 9, 12)  # conv indices (0-based) whose relu output is tapped
 
-# ImageNet normalization in [-1, 1] space (reference lpipsPyTorch scales
-# inputs to [-1, 1] then shifts/scales; combined here)
+# z-score constants (reference lpipsPyTorch networks.py BaseNet buffers).
+# NOTE: the reference applies these straight to the [0, 1] tensors that
+# metrics.py:31-32 builds with tf.to_tensor — it never rescales to
+# [-1, 1] — so matching its published numbers requires the same.
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
@@ -90,7 +92,9 @@ def _vgg_features(x, params):
 
 
 def _unit_normalize(x, eps=1e-10):
-    return x / jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+    # x / (||x|| + eps), matching reference utils.py normalize_activation
+    # (NOT x / sqrt(ss + eps))
+    return x / (jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)) + eps)
 
 
 def lpips(img0, img1, params: Optional[dict] = None, weights_path=None):
@@ -103,10 +107,10 @@ def lpips(img0, img1, params: Optional[dict] = None, weights_path=None):
     if img0.ndim == 3:
         img0 = img0[None]
         img1 = img1[None]
-    x0 = img0.astype(jnp.float32) * 2.0 - 1.0
-    x1 = img1.astype(jnp.float32) * 2.0 - 1.0
-    f0 = _vgg_features(x0, params)
-    f1 = _vgg_features(x1, params)
+    # [0, 1] inputs go straight to the z-score, exactly as the reference
+    # evaluates (metrics.py:31-32 -> networks.py z_score)
+    f0 = _vgg_features(img0.astype(jnp.float32), params)
+    f1 = _vgg_features(img1.astype(jnp.float32), params)
     total = 0.0
     for j, (a, b) in enumerate(zip(f0, f1)):
         d = (_unit_normalize(a) - _unit_normalize(b)) ** 2  # (N, H, W, C)

@@ -4,29 +4,45 @@ TPU-native replacement for the CUDA duplicateWithKeys -> cub radix sort ->
 identifyTileRanges pipeline (reference contract documented in SURVEY.md §2.2
 N1; call sites gaussian_renderer/__init__.py:85-99).
 
-Layout: pairs live in a dense (N, MT) grid — gaussian g's j-th touched tile
-sits at slot ``g * MT + j`` (``MT = max_tiles_per_gauss``, power of two).
-Tile ids decode by broadcasting each gaussian's rect over the j axis: pure
-elementwise work, no per-pair gathers and no segment-fill scans (both of
-which dominate wall time on TPU; measured ~110ms/frame at 1080p for the
-compact-layout alternative). Gaussians touching more than MT tiles lose the
-overflow (counted in ``num_dropped``); the reference has no such cap, but
+Layout: pairs live in a dense grid (optionally *tiered*). On TPU,
+compacting a variable number of pairs per gaussian is itself a sort, so the
+grid must be dense — but a single (N, MT) grid pays MT slots for every
+gaussian while the vast majority touch only a few tiles (measured at the
+1080p/1M bench scene: 83% of visible gaussians touch <= 4 tiles). With
+``tier_frac > 0``, a cheap partition sort of the N gaussians (key = tile
+count ascending, payload = rect/depth columns) fills a *small* tier of
+``tier_frac * N`` rows expanded at ``mt_small = max(2, mt/4)`` slots and a
+*big* tier at ``mt`` slots, shrinking the key sort from N*mt to
+~N*(tier_frac*mt_small + (1-tier_frac)*mt) entries (16.8M -> ~5.5M at the
+bench scene). Slot ids stay in the uniform virtual (N, mt) grid
+(slot = row_pos * mt + j), so the downstream gradient reduction is
+unchanged except that per-gaussian sums come out in row order and
+``gauss_inv_perm`` un-permutes them (one (N, 9) row gather, backward only —
+DCE'd in forward graphs).
+
+Capping: a gaussian whose tile count exceeds ``mt`` loses the overflow
+(``num_mt_capped`` minus ``num_tier_capped``; trainer grows ``mt``). With
+tiering, if more than ``(1 - tier_frac) * N`` gaussians touch more than
+``mt_small`` tiles, the ascending-count order puts the *smallest* of them
+in the small tier and their overflow is capped too (``num_tier_capped``;
+trainer backs off ``tier_frac``). The reference has no such caps, but
 trained scenes keep footprints a few tiles wide via the scale prune
-(train.py:119-120), so MT=32 is generous.
+(train.py:119-120). ``tier_frac=0`` (the default) disables tiering and
+never tier-caps.
 
 The 64-bit CUDA radix key (tile << 32 | depth bits) becomes a single
 *uint32* key: tile id in the high bits, the top bits of the positive-f32
 depth pattern (monotone in depth) in the low bits. A stable single-key sort
 orders pairs by (tile, depth, slot). Depth ties within ~2^-9 relative
 precision fall back to slot order — invisible in renders; tests needing
-bit-exact depth order use ``exact_depth_sort``. Only the leading
-``max_pairs`` sorted pairs (all valid ones, when the budget holds) feed the
-downstream pipeline, so compositing cost is budget-bound, not N*MT-bound.
+bit-exact depth order use ``exact_depth_sort`` (which skips tiering). Only
+the leading ``max_pairs`` sorted pairs (all valid ones, when the budget
+holds) feed the downstream pipeline, so compositing cost is budget-bound.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,15 +51,50 @@ from gsjax.ops.projection import Splats
 
 
 class TileBins(NamedTuple):
-    pair_gauss: jnp.ndarray  # (P,) int32 gaussian index per sorted pair
+    pair_gauss: jnp.ndarray  # (P,) int32 ORIGINAL gaussian index per pair
     pair_tile: jnp.ndarray  # (P,) int32 tile id per sorted pair (T = sentinel)
-    pair_slot: jnp.ndarray  # (P,) int32 dense (g * MT + j) slot per pair
+    pair_slot: jnp.ndarray  # (P,) int32 virtual (pos * mt + j) slot per pair
     tile_start: jnp.ndarray  # (T + 1,) int32 range starts into sorted pairs
     num_pairs: jnp.ndarray  # () int32 valid pairs after caps
-    num_dropped: jnp.ndarray  # () int32 pairs lost to MT / budget caps
-    num_mt_capped: jnp.ndarray  # () int32 subset of num_dropped lost to MT
-    gauss_count: jnp.ndarray  # (N,) int32 expanded pairs per gaussian
+    num_dropped: jnp.ndarray  # () int32 pairs lost to mt / tier / budget caps
+    num_mt_capped: jnp.ndarray  # () int32 subset of num_dropped lost to the
+    # per-gaussian caps (mt overflow + tier overflow)
+    num_tier_capped: jnp.ndarray  # () int32 subset of num_mt_capped lost
+    # only because of the small-tier assignment (0 when untiered)
+    gauss_count: jnp.ndarray  # (N,) int32 expanded pairs per gaussian, in
+    # SLOT (row) order when tiered, original order otherwise
+    gauss_inv_perm: Optional[jnp.ndarray]  # (N,) int32: original gaussian i's
+    # row position in slot order (None when untiered)
     mt: int  # static: max tiles per gaussian (slot stride)
+
+
+def _quantized_depth(depths, depth_bits: int):
+    """Positive-f32 bit pattern truncated to ``depth_bits`` — monotone in
+    depth, so integer order == depth order (ties within ~2^-9 relative)."""
+    depth_i = jax.lax.bitcast_convert_type(
+        jnp.maximum(depths, 0.0).astype(jnp.float32), jnp.int32
+    )
+    return jax.lax.shift_right_logical(depth_i, 31 - depth_bits)
+
+
+def _expand_keys(rect_min_x, rect_min_y, rect_w, depth_q, counts, pos0, mt_tier,
+                 mt, tiles_x, num_tiles, depth_bits):
+    """Dense (rows, mt_tier) key grid for one tier. Returns flat
+    (keys u32, slots i32)."""
+    n = rect_min_x.shape[0]
+    j = jnp.arange(mt_tier, dtype=jnp.int32)[None, :]
+    w = jnp.maximum(rect_w, 1)[:, None]
+    tx = rect_min_x[:, None] + j % w
+    ty = rect_min_y[:, None] + j // w
+    tile = ty * tiles_x + tx
+    valid = j < counts[:, None]
+    tile = jnp.where(valid, tile, num_tiles)  # sentinel sorts to the end
+    key = (tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | jnp.where(
+        valid, depth_q[:, None], (1 << depth_bits) - 1
+    ).astype(jnp.uint32)
+    pos = pos0 + jnp.arange(n, dtype=jnp.int32)
+    slot = pos[:, None] * mt + j
+    return key.reshape(-1), slot.reshape(-1)
 
 
 def build_tile_bins(
@@ -53,6 +104,7 @@ def build_tile_bins(
     max_pairs: int,
     exact_depth_sort: bool = False,
     max_tiles_per_gauss: int = 32,
+    tier_frac: float = 0.0,
 ):
     """Expand per-Gaussian tile rectangles into sorted (tile, depth) pairs."""
     n = splats.depths.shape[0]
@@ -60,59 +112,129 @@ def build_tile_bins(
     if mt & (mt - 1):
         raise ValueError("max_tiles_per_gauss must be a power of two")
     num_tiles = tiles_x * tiles_y
-    counts = jnp.minimum(splats.tiles_touched, mt)  # (N,)
     total_desired = jnp.sum(splats.tiles_touched)
-
-    j = jnp.arange(mt, dtype=jnp.int32)[None, :]  # (1, MT)
-    rect_w = jnp.maximum(
-        splats.rect_max[:, 0] - splats.rect_min[:, 0], 1
-    )[:, None]
-    tx = splats.rect_min[:, 0:1] + j % rect_w  # (N, MT)
-    ty = splats.rect_min[:, 1:2] + j // rect_w
-    tile = ty * tiles_x + tx
-    valid = j < counts[:, None]
-    tile = jnp.where(valid, tile, num_tiles)  # sentinel sorts to the end
-
-    slot = jnp.arange(n * mt, dtype=jnp.int32)
 
     # tile-id bits for the packed key; depth takes the rest of a uint32
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     depth_bits = 32 - tile_bits
 
+    mt_small = max(2, mt // 4)
+    ca = min(int(n * tier_frac) // 8 * 8, n)  # small-tier row budget
+    tiered = not exact_depth_sort and mt_small < mt and 0 < ca < n
+
     if exact_depth_sort:
+        counts = jnp.minimum(splats.tiles_touched, mt)
+        j = jnp.arange(mt, dtype=jnp.int32)[None, :]
+        rect_w = jnp.maximum(
+            splats.rect_max[:, 0] - splats.rect_min[:, 0], 1
+        )[:, None]
+        tx = splats.rect_min[:, 0:1] + j % rect_w
+        ty = splats.rect_min[:, 1:2] + j // rect_w
+        tile = ty * tiles_x + tx
+        valid = j < counts[:, None]
+        tile = jnp.where(valid, tile, num_tiles)
         depth = jnp.where(
             valid, jnp.broadcast_to(splats.depths[:, None], (n, mt)), jnp.inf
         )
-        tile_flat = tile.reshape(-1)
+        slot = jnp.arange(n * mt, dtype=jnp.int32)
         tile_s, _, sorted_slot = jax.lax.sort(
-            (tile_flat, depth.reshape(-1), slot), num_keys=2, is_stable=True
+            (tile.reshape(-1), depth.reshape(-1), slot),
+            num_keys=2, is_stable=True,
         )
-    else:
-        depth_i = jax.lax.bitcast_convert_type(
-            jnp.maximum(splats.depths, 0.0).astype(jnp.float32), jnp.int32
+        sorted_g = sorted_slot // mt
+        inv_perm = None
+        gauss_count = counts
+        total_slots = n * mt
+    elif not tiered:
+        counts = jnp.minimum(splats.tiles_touched, mt)
+        depth_q = _quantized_depth(splats.depths, depth_bits)
+        key, slot = _expand_keys(
+            splats.rect_min[:, 0], splats.rect_min[:, 1],
+            splats.rect_max[:, 0] - splats.rect_min[:, 0],
+            depth_q, counts, jnp.int32(0), mt, mt, tiles_x, num_tiles,
+            depth_bits,
         )
-        depth_q = jax.lax.shift_right_logical(depth_i, 31 - depth_bits)
-        key = (tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | jnp.where(
-            valid, depth_q[:, None], (1 << depth_bits) - 1
-        ).astype(jnp.uint32)
         key_s, sorted_slot = jax.lax.sort(
-            (key.reshape(-1), slot), num_keys=1, is_stable=True
+            (key, slot), num_keys=1, is_stable=True
         )
         tile_s = (key_s >> jnp.uint32(depth_bits)).astype(jnp.int32)
+        sorted_g = sorted_slot // mt
+        inv_perm = None
+        gauss_count = counts
+        total_slots = n * mt
+    else:
+        # --- tier partition: ascending tile count (index-tiebroken), so the
+        # big tier holds exactly the n-ca largest footprints — the optimal
+        # static assignment; tier-capping happens only when >n-ca gaussians
+        # genuinely exceed mt_small ---
+        raw_counts = jnp.minimum(splats.tiles_touched, mt)
+        depth_q = _quantized_depth(splats.depths, depth_bits)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        rect_w = splats.rect_max[:, 0] - splats.rect_min[:, 0]
+        if n * (mt + 1) < 2**31:
+            # packed unique key: count * n + index (monotone in (count, idx))
+            pkey = raw_counts * jnp.int32(n) + idx
+            pkey_s, rx, ry, rw, dq, cnt = jax.lax.sort(
+                (pkey, splats.rect_min[:, 0], splats.rect_min[:, 1],
+                 rect_w, depth_q, raw_counts),
+                num_keys=1, is_stable=False,  # keys are unique
+            )
+            orig_idx = pkey_s - cnt * jnp.int32(n)
+        else:
+            _, orig_idx, rx, ry, rw, dq, cnt = jax.lax.sort(
+                (raw_counts, idx, splats.rect_min[:, 0],
+                 splats.rect_min[:, 1], rect_w, depth_q, raw_counts),
+                num_keys=2, is_stable=False,
+            )
+
+        # tier caps: rows [0, ca) get mt_small slots, rows [ca, n) get mt.
+        cap = jnp.where(jnp.arange(n) < ca, mt_small, mt)
+        counts = jnp.minimum(cnt, cap)
+
+        key_a, slot_a = _expand_keys(
+            rx[:ca], ry[:ca], rw[:ca], dq[:ca], counts[:ca],
+            jnp.int32(0), mt_small, mt, tiles_x, num_tiles, depth_bits,
+        )
+        key_b, slot_b = _expand_keys(
+            rx[ca:], ry[ca:], rw[ca:], dq[ca:], counts[ca:],
+            jnp.int32(ca), mt, mt, tiles_x, num_tiles, depth_bits,
+        )
+        gauss_a = jnp.repeat(orig_idx[:ca], mt_small)
+        gauss_b = jnp.repeat(orig_idx[ca:], mt)
+        key = jnp.concatenate([key_a, key_b])
+        slot = jnp.concatenate([slot_a, slot_b])
+        gauss = jnp.concatenate([gauss_a, gauss_b])
+
+        key_s, sorted_slot, sorted_g = jax.lax.sort(
+            (key, slot, gauss), num_keys=2, is_stable=False
+        )
+        tile_s = (key_s >> jnp.uint32(depth_bits)).astype(jnp.int32)
+        # original gaussian i sits at slot position inv_perm[i]; used to
+        # un-permute per-gaussian gradient sums (backward only — DCE'd in
+        # forward graphs)
+        _, inv_perm = jax.lax.sort(
+            (orig_idx, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+            is_stable=False,
+        )
+        gauss_count = counts  # slot (row) order
+        total_slots = ca * mt_small + (n - ca) * mt
+        tier_capped = jnp.sum(cnt) - jnp.sum(counts)
 
     # only the leading budget feeds compositing; valid pairs sort first
-    p = min(max_pairs, n * mt)
+    p = min(max_pairs, total_slots)
     tile_s = tile_s[:p]
     sorted_slot = sorted_slot[:p]
-    sorted_g = sorted_slot // mt
+    sorted_g = sorted_g[:p]
 
     tile_start = jnp.searchsorted(
         tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    num_pairs = jnp.minimum(jnp.sum(counts), p)
+    num_pairs = jnp.minimum(jnp.sum(gauss_count), p)
     num_dropped = total_desired - num_pairs
-    num_mt_capped = total_desired - jnp.sum(counts)
+    num_mt_capped = total_desired - jnp.sum(gauss_count)
+    if not tiered:
+        tier_capped = jnp.int32(0)
 
     return TileBins(
         pair_gauss=sorted_g,
@@ -122,6 +244,8 @@ def build_tile_bins(
         num_pairs=num_pairs,
         num_dropped=num_dropped,
         num_mt_capped=num_mt_capped,
-        gauss_count=counts,
+        num_tier_capped=tier_capped,
+        gauss_count=gauss_count,
+        gauss_inv_perm=inv_perm,
         mt=mt,
     )

@@ -484,6 +484,7 @@ def composite_pallas_grads(
     interpret: bool | None = None,
     grad_dtype=jnp.float32,
     grad_reduce: str = "gather",
+    gauss_inv_perm=None,
 ):
     """Backward pass: per-pair gradient kernel + deterministic segmented
     reduction to per-gaussian cotangents.
@@ -652,7 +653,11 @@ def composite_pallas_grads(
     # cumulative sums yields every boundary (hi[i] == lo[i+1])
     loc = jnp.minimum(lo, num_valid)  # (N + 1,) nondecreasing
     cl = csum[loc]
-    per_gauss = cl[1:] - cl[:-1]  # (N, 16)
+    per_gauss = cl[1:] - cl[:-1]  # (N, 9), row (slot) order
+    if gauss_inv_perm is not None:
+        # tiered binning: rows are in tile-count-sorted order; one (N, 9)
+        # gather maps original gaussian i to its row inv_perm[i]
+        per_gauss = per_gauss[gauss_inv_perm]
 
     d_means2d = per_gauss[:, 0:2]
     d_conics = per_gauss[:, 2:5]
@@ -690,26 +695,29 @@ def composite_pallas(
     chunk: int = CHUNK,
     grad_dtype: str = "float32",
     grad_reduce: str = "gather",
+    gauss_inv_perm=None,
 ):
     """Differentiable Pallas compositing: custom VJP pairing the forward
     tile kernel with the back-to-front replay kernel (the JAX equivalent of
     diff-gaussian-rasterization's autograd.Function; SURVEY.md §2.2 N1).
 
     ``mt`` is the dense slot stride (max tiles per gaussian) from binning.
-    Returns (tile_colors (T, PIX, 3), tile_T (T, PIX)).
+    ``gauss_inv_perm`` (tiered binning) maps original gaussian i to its row
+    in slot order; backward-only. Returns (tile_colors (T, PIX, 3),
+    tile_T (T, PIX)).
     """
     return _composite_vjp(
         means2d, conics, colors, opacities, pair_gauss, pair_slot,
-        tile_start, gauss_count, mt, tiles_x, tiles_y, chunk, grad_dtype,
-        grad_reduce,
+        tile_start, gauss_count, gauss_inv_perm, mt, tiles_x, tiles_y,
+        chunk, grad_dtype, grad_reduce,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def _composite_vjp(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
-    tile_start, gauss_count, mt, tiles_x, tiles_y, chunk, grad_dtype,
-    grad_reduce,
+    tile_start, gauss_count, gauss_inv_perm, mt, tiles_x, tiles_y, chunk,
+    grad_dtype, grad_reduce,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk,
@@ -723,8 +731,8 @@ def _composite_vjp(
 
 def _composite_vjp_fwd(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
-    tile_start, gauss_count, mt, tiles_x, tiles_y, chunk, grad_dtype,
-    grad_reduce,
+    tile_start, gauss_count, gauss_inv_perm, mt, tiles_x, tiles_y, chunk,
+    grad_dtype, grad_reduce,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk,
@@ -733,7 +741,8 @@ def _composite_vjp_fwd(
     tc, tT, ncon = composite_tiles_pallas(
         pair_attrs, tile_start, tiles_x, tiles_y, chunk
     )
-    res = (pair_attrs, tile_start, tT, ncon, pair_slot, gauss_count)
+    res = (pair_attrs, tile_start, tT, ncon, pair_slot, gauss_count,
+           gauss_inv_perm)
     return (tc, tT), res
 
 
@@ -742,13 +751,15 @@ def _composite_vjp_bwd(
 ):
     import numpy as np
 
-    pair_attrs, tile_start, final_T, ncon, pair_slot, gauss_count = res
+    (pair_attrs, tile_start, final_T, ncon, pair_slot, gauss_count,
+     gauss_inv_perm) = res
     d_tc, d_tT = cts
     d_means2d, d_conics, d_colors, d_opacities = composite_pallas_grads(
         pair_attrs, tile_start, d_tc, d_tT, final_T, ncon,
         pair_slot, gauss_count, mt, tiles_x, tiles_y, chunk,
         grad_dtype=jnp.dtype(grad_dtype).type,
         grad_reduce=grad_reduce,
+        gauss_inv_perm=gauss_inv_perm,
     )
 
     def int_ct(x):
@@ -758,6 +769,7 @@ def _composite_vjp_bwd(
         d_means2d, d_conics, d_colors, d_opacities,
         int_ct(pair_slot), int_ct(pair_slot), int_ct(tile_start),
         int_ct(gauss_count),
+        None if gauss_inv_perm is None else int_ct(gauss_inv_perm),
     )
 
 

@@ -52,6 +52,10 @@ class RasterizeSettings:
     pallas_chunk: int = 128  # pairs staged per DMA in the pallas kernel
     exact_depth_sort: bool = False  # full-f32 depth keys (slower 2-key sort)
     max_tiles_per_gauss: int = 16  # dense pair-grid stride (power of two)
+    # fraction of gaussians expanded at mt/4 slots instead of mt (tiered
+    # binning: shrinks the pair key sort ~3x; overflow is counted in
+    # num_tier_capped and the trainer backs tier_frac off). 0 = off.
+    tier_frac: float = 0.0
     grad_dtype: str = "float32"  # "bfloat16" halves backward-reduction traffic
     # backward reduction strategy: "sort" carries the 9 grad columns as
     # sort payload over two small-operand sorts (no row gather; the kernel
@@ -59,6 +63,14 @@ class RasterizeSettings:
     # row gather (~43M rows/s on TPU). "sort" needs grad_dtype float32 and
     # falls back to "gather" otherwise. See docs/PERF.md.
     grad_reduce: str = "sort"
+    # sharded splat exchange (gsjax/parallel/shard.py): "all_gather"
+    # replicates every chip's splats (O(N) per-chip memory); "a2a" routes
+    # each splat only to the chips owning the tile strips it overlaps
+    # (O(N/G) per-chip, overflow counted in num_exchange_dropped).
+    splat_exchange: str = "all_gather"
+    # per-(source, dest) row budget for "a2a"; 0 = auto (4x the uniform
+    # share, rounded up to 128)
+    a2a_rows: int = 0
 
     def __post_init__(self):
         if self.max_splats_per_tile % self.chunk:
@@ -67,6 +79,8 @@ class RasterizeSettings:
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.grad_reduce not in ("gather", "sort"):
             raise ValueError(f"unknown grad_reduce {self.grad_reduce!r}")
+        if self.splat_exchange not in ("all_gather", "a2a"):
+            raise ValueError(f"unknown splat_exchange {self.splat_exchange!r}")
 
 
 def render(
@@ -111,6 +125,7 @@ def render(
         splats, tiles_x, tiles_y, settings.max_pairs,
         exact_depth_sort=settings.exact_depth_sort,
         max_tiles_per_gauss=settings.max_tiles_per_gauss,
+        tier_frac=settings.tier_frac,
     )
     backend = settings.backend
     if backend == "auto":
@@ -127,6 +142,7 @@ def render(
             bins.mt, tiles_x, tiles_y, settings.pallas_chunk,
             grad_dtype=settings.grad_dtype,
             grad_reduce=settings.grad_reduce,
+            gauss_inv_perm=bins.gauss_inv_perm,
         )
     else:
         tile_colors, tile_T, num_tile_capped = composite_tiles(
@@ -152,6 +168,7 @@ def render(
         "final_T": final_T,
         "num_dropped": bins.num_dropped,
         "num_mt_capped": bins.num_mt_capped,
+        "num_tier_capped": bins.num_tier_capped,
         "num_tile_capped": num_tile_capped,
     }
 
@@ -242,6 +259,7 @@ def render_naive(
         "final_T": final_T.reshape(h, w),
         "num_dropped": jnp.int32(0),
         "num_mt_capped": jnp.int32(0),
+        "num_tier_capped": jnp.int32(0),
         "num_tile_capped": jnp.int32(0),
     }
 

@@ -79,6 +79,99 @@ def shard_gaussian_state(state: GaussianState, mesh: Mesh) -> GaussianState:
 
 
 # ---------------------------------------------------------------------------
+# splat exchange (runs inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _exchange_splats(splats, strips_y: int, gauss_size: int, k_rows: int,
+                     axis: str = "gauss"):
+    """Route each visible splat only to the chips owning the tile strips its
+    rect overlaps — ``lax.all_to_all`` instead of ``all_gather`` (SURVEY.md
+    §5.7). Per-chip memory downstream becomes O(gauss_size * k_rows)
+    instead of O(N): the receiver bins/blends at most ``gauss_size *
+    k_rows`` candidates regardless of the global splat count.
+
+    Compaction is one small stable sort per chip: expand each splat to its
+    <= S_MAX destination strips, sort (dst, idx), and slice each dst's
+    segment into a fixed (gauss_size, k_rows) send buffer. Send overflow
+    (segment longer than ``k_rows``, or a splat spanning > S_MAX strips) is
+    truncated and counted — the caller surfaces it like the pair budget.
+
+    Returns (received Splats with ``gauss_size * k_rows`` rows — invalid
+    rows have ``tiles_touched == 0`` — and this chip's dropped-send count).
+    Gradients flow through the f32 fields: the transpose of the gather is
+    a scatter-add into the local shard, and all_to_all transposes to the
+    reverse all_to_all.
+    """
+    from gsjax.ops.projection import Splats
+
+    n = splats.depths.shape[0]
+    g_sz = gauss_size
+    S_MAX = 4
+    visible = splats.tiles_touched > 0
+    dst_lo = jnp.clip(splats.rect_min[:, 1] // strips_y, 0, g_sz - 1)
+    dst_hi = jnp.clip((splats.rect_max[:, 1] - 1) // strips_y, 0, g_sz - 1)
+    n_dst = jnp.where(visible, dst_hi - dst_lo + 1, 0)
+    over_span = jnp.sum(jnp.maximum(n_dst - S_MAX, 0))
+    n_dst = jnp.minimum(n_dst, S_MAX)
+
+    j = jnp.arange(S_MAX, dtype=jnp.int32)[None, :]
+    dst = dst_lo[:, None] + j  # (n, S_MAX)
+    valid = j < n_dst[:, None]
+    key = jnp.where(valid, dst, g_sz).astype(jnp.int32)
+    idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, S_MAX)
+    )
+    key_s, idx_s = jax.lax.sort(
+        (key.reshape(-1), idx.reshape(-1)), num_keys=1, is_stable=True
+    )
+    seg = jnp.searchsorted(
+        key_s, jnp.arange(g_sz + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)  # (g_sz + 1,) segment bounds per dst (g_sz = pad)
+
+    kk = jnp.arange(k_rows, dtype=jnp.int32)[None, :]
+    pos = seg[:g_sz, None] + kk  # (g_sz, k_rows)
+    valid_out = (pos < seg[1:, None]).reshape(-1)
+    rows = idx_s[jnp.clip(pos.reshape(-1), 0, n * S_MAX - 1)]
+    seg_len = seg[1:] - seg[:-1]
+    dropped = over_span + jnp.sum(jnp.maximum(seg_len - k_rows, 0))
+
+    f32 = jnp.concatenate(
+        [splats.means2d, splats.conics, splats.colors,
+         splats.opacities[:, None], splats.depths[:, None]], axis=1
+    )  # (n, 10)
+    i32 = jnp.concatenate([splats.rect_min, splats.rect_max], axis=1)
+    send_f = jnp.where(valid_out[:, None], f32[rows], 0.0)
+    send_i = jnp.where(valid_out[:, None], i32[rows], 0)
+    send_t = valid_out.astype(jnp.int32)
+    recv_f = lax.all_to_all(send_f, axis, split_axis=0, concat_axis=0,
+                            tiled=True)
+    recv_i = lax.all_to_all(send_i, axis, split_axis=0, concat_axis=0,
+                            tiled=True)
+    recv_t = lax.all_to_all(send_t, axis, split_axis=0, concat_axis=0,
+                            tiled=True)
+    received = Splats(
+        means2d=recv_f[:, 0:2],
+        depths=recv_f[:, 9],
+        conics=recv_f[:, 2:5],
+        colors=recv_f[:, 5:8],
+        opacities=recv_f[:, 8],
+        radii=recv_t,  # not meaningful post-exchange; stats use local radii
+        rect_min=recv_i[:, 0:2],
+        rect_max=recv_i[:, 2:4],
+        tiles_touched=recv_t,
+    )
+    return received, dropped
+
+
+def _a2a_rows_auto(n_local: int, gauss_size: int, a2a_rows: int) -> int:
+    """4x the uniform per-destination share, 128-aligned, unless pinned."""
+    if a2a_rows:
+        return a2a_rows
+    return max(128, _cdiv(4 * n_local, gauss_size * 128) * 128)
+
+
+# ---------------------------------------------------------------------------
 # strip renderer (runs inside shard_map)
 # ---------------------------------------------------------------------------
 
@@ -98,8 +191,8 @@ def _render_strip(
     """Render this chip's tile strip from all chips' splats.
 
     Returns (strip_image (strips_y*16, W, 3), strip_T, radii_shard,
-    num_dropped, num_mt_capped, num_tile_capped). Strip row offset =
-    axis_index * strips_y tiles.
+    num_dropped, num_mt_capped, num_tile_capped, num_exchange_dropped).
+    Strip row offset = axis_index * strips_y tiles.
     """
     tiles_x, _ = num_tiles(camera.width, camera.height)
     means3d, scales, quats, opac, shs = activated_params(params_shard)
@@ -115,9 +208,18 @@ def _render_strip(
         means2d_offset=offset_shard,
     )
     g = lax.axis_index(axis)
-    alls = jax.tree.map(
-        lambda x: lax.all_gather(x, axis, axis=0, tiled=True), splats
-    )
+    if settings.splat_exchange == "a2a":
+        k_rows = _a2a_rows_auto(
+            splats.depths.shape[0], gauss_size, settings.a2a_rows
+        )
+        alls, exch_dropped = _exchange_splats(
+            splats, strips_y, gauss_size, k_rows, axis
+        )
+    else:
+        alls = jax.tree.map(
+            lambda x: lax.all_gather(x, axis, axis=0, tiled=True), splats
+        )
+        exch_dropped = jnp.int32(0)
 
     # clip tile rects to this strip (strip-local y)
     y0 = g * strips_y
@@ -132,26 +234,51 @@ def _render_strip(
         tiles_touched=local_tiles,
     )
     bins = build_tile_bins(
-        local, tiles_x, strips_y, max(settings.max_pairs // gauss_size, 1024)
+        local, tiles_x, strips_y, max(settings.max_pairs // gauss_size, 1024),
+        max_tiles_per_gauss=settings.max_tiles_per_gauss,
+        tier_frac=settings.tier_frac,
     )
-    tile_colors, tile_T, tile_capped = composite_tiles(
-        bins.pair_gauss,
-        bins.tile_start,
-        alls.means2d,
-        alls.conics,
-        alls.colors,
-        alls.opacities,
-        tiles_x,
-        strips_y,
-        settings.max_splats_per_tile,
-        settings.chunk,
-        pixel_origin=(0.0, (y0 * TILE).astype(jnp.float32)),
-    )
+    backend = settings.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from gsjax.ops.pallas_composite import composite_pallas
+
+        # the kernel derives pixel coords from the strip-local tile index;
+        # shifting mean_y down by the strip origin is equivalent to global
+        # pixel coords (dx/dy invariant), and costs no kernel change. The
+        # constant shift leaves d_means2d untouched.
+        shifted = alls.means2d - jnp.stack(
+            [jnp.float32(0.0), (y0 * TILE).astype(jnp.float32)]
+        )
+        tile_colors, tile_T = composite_pallas(
+            shifted, alls.conics, alls.colors, alls.opacities,
+            bins.pair_gauss, bins.pair_slot, bins.tile_start,
+            bins.gauss_count, bins.mt, tiles_x, strips_y,
+            settings.pallas_chunk, grad_dtype=settings.grad_dtype,
+            grad_reduce=settings.grad_reduce,
+            gauss_inv_perm=bins.gauss_inv_perm,
+        )
+        tile_capped = jnp.int32(0)  # the pallas kernel never truncates
+    else:
+        tile_colors, tile_T, tile_capped = composite_tiles(
+            bins.pair_gauss,
+            bins.tile_start,
+            alls.means2d,
+            alls.conics,
+            alls.colors,
+            alls.opacities,
+            tiles_x,
+            strips_y,
+            settings.max_splats_per_tile,
+            settings.chunk,
+            pixel_origin=(0.0, (y0 * TILE).astype(jnp.float32)),
+        )
     strip_img, strip_T = assemble_image(
         tile_colors, tile_T, bg, tiles_x, strips_y, camera.width, strips_y * TILE
     )
     return (strip_img, strip_T, splats.radii, bins.num_dropped,
-            bins.num_mt_capped, tile_capped)
+            bins.num_mt_capped, tile_capped, exch_dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -239,7 +366,7 @@ def make_sharded_render(
     )
     def body(params, active, sh_degree, camera, bg):
         offset = jnp.zeros((params["xyz"].shape[0], 2))
-        strip, strip_T, _, _, _, _ = _render_strip(
+        strip, strip_T, _, _, _, _, _ = _render_strip(
             params, active, sh_degree, camera, offset, bg,
             settings, strips_y, gauss_size,
         )
@@ -268,8 +395,75 @@ def make_sharded_train_step(
     metrics). Each ``data`` row trains on its own camera; Gaussians and tile
     strips shard over ``gauss``.
     """
-    import optax
+    impl = _make_sharded_step_impl(tx, mesh, cameras, cfg)
+    images = jnp.asarray(images)
+    jimpl = jax.jit(impl)
 
+    # cameras/images go in as ARGUMENTS: multi-process global arrays may
+    # not be closed over (they span non-addressable devices)
+    def step(state: GaussianState, opt_state, cam_idx, key):
+        return jimpl(state, opt_state, cam_idx, key, cameras, images)
+
+    return step
+
+
+def make_sharded_train_step_chained(
+    tx,
+    mesh: Mesh,
+    cameras: RenderCamera,
+    images,
+    cfg,
+    n_steps: int,
+):
+    """``n_steps`` sharded train steps in ONE dispatch: a lax.scan over the
+    full dp x gauss step, restoring the ~30ms-RTT amortization the
+    single-device path gets from make_train_step_chained
+    (gsjax/train/step.py:249-299).
+
+    step(state, opt_state, cam_idxs (n_steps, data), key) ->
+        (state, opt_state, last-step metrics + "loss_mean")
+    """
+    impl = _make_sharded_step_impl(tx, mesh, cameras, cfg)
+    images = jnp.asarray(images)
+
+    def chained_impl(state, opt_state, cam_idxs, key, cams, images_arg):
+        def body(carry, x):
+            st, opt = carry
+            i, cam_idx = x
+            k = jax.random.fold_in(key, i)
+            st, opt, metrics = impl(st, opt, cam_idx, k, cams, images_arg)
+            return (st, opt), metrics
+
+        (state, opt_state), ms = jax.lax.scan(
+            body,
+            (state, opt_state),
+            (jnp.arange(n_steps, dtype=jnp.int32), cam_idxs),
+        )
+        metrics = jax.tree.map(lambda a: a[-1], ms)
+        metrics["loss_mean"] = jnp.mean(ms["loss"])
+        metrics["num_dropped_pairs"] = jnp.max(ms["num_dropped_pairs"])
+        metrics["num_mt_capped_pairs"] = jnp.max(ms["num_mt_capped_pairs"])
+        metrics["num_tile_capped"] = jnp.max(ms["num_tile_capped"])
+        metrics["num_exchange_dropped"] = jnp.max(ms["num_exchange_dropped"])
+        metrics["num_budget_dropped"] = jnp.max(
+            ms["num_dropped_pairs"] - ms["num_mt_capped_pairs"]
+        )
+        return state, opt_state, metrics
+
+    jchained = jax.jit(chained_impl)
+
+    def step(state, opt_state, cam_idxs, key):
+        return jchained(state, opt_state, cam_idxs, key, cameras, images)
+
+    return step
+
+
+def _make_sharded_step_impl(tx, mesh: Mesh, cameras: RenderCamera, cfg):
+    """Unjitted single sharded step: (state, opt_state, cam_idx (data,),
+    key, cameras, images) -> (state, opt_state, metrics). ``cameras`` is
+    passed both here (for the static W/H fields) and at call time (for the
+    array leaves)."""
+    import optax
 
     data_size = mesh.shape["data"]
     gauss_size = mesh.shape["gauss"]
@@ -279,7 +473,6 @@ def make_sharded_train_step(
     strip_px = strips_y * TILE
     settings = cfg.settings
     bg_color = jnp.full(3, 1.0 if cfg.white_background else 0.0, jnp.float32)
-    images = jnp.asarray(images)
     n_pix = height * width * 3
 
     @functools.partial(
@@ -291,6 +484,7 @@ def make_sharded_train_step(
             P(),  # sh_degree
             P("data"),  # cam_idx
             P("data"),  # key (per data row)
+            P(),  # cameras (replicated)
             P(),  # images (replicated)
         ),
         out_specs=(
@@ -303,12 +497,13 @@ def make_sharded_train_step(
             P(),  # dropped pairs
             P(),  # mt-capped pairs
             P(),  # tile-capped pairs (xla compositor truncation)
+            P(),  # exchange-dropped splats (a2a send overflow)
         ),
         check_vma=False,
     )
-    def body(params, active, sh_degree, cam_idx, key, images_all):
+    def body(params, active, sh_degree, cam_idx, key, cams_all, images_all):
         cam_i = cam_idx[0]
-        camera = index_render_camera(cameras, cam_i)
+        camera = index_render_camera(cams_all, cam_i)
         gt = images_all[cam_i]
         if gt.dtype == jnp.uint8:
             gt = gt.astype(jnp.float32) / 255.0
@@ -339,7 +534,8 @@ def make_sharded_train_step(
             loss = (1-lam)*L1 + lam*(1-SSIM) = psum(partial) + lam, with
             partial = ((1-lam)*l1_sum - lam*ssim_sum) / n_pix.
             """
-            strip, _, radii, dropped, capped, tile_capped = _render_strip(
+            (strip, _, radii, dropped, capped, tile_capped,
+             exch_dropped) = _render_strip(
                 params, active, sh_degree, camera, offset, bg,
                 settings, strips_y, gauss_size,
             )
@@ -347,10 +543,12 @@ def make_sharded_train_step(
             l1_sum = jnp.sum(jnp.abs(strip - gt_strip) * row_valid[:, None, None])
             ssim_sum = _ssim_partial_sum(strip, gt_strip, row_valid, "gauss")
             partial = ((1.0 - lam) * l1_sum - lam * ssim_sum) / n_pix
-            return partial, (l1_sum, radii, dropped, capped, tile_capped)
+            return partial, (l1_sum, radii, dropped, capped, tile_capped,
+                             exch_dropped)
 
         offset = jnp.zeros((params["xyz"].shape[0], 2))
-        (partial, (l1_sum, radii, dropped, capped, tile_capped)), (g_params, g_offset) = (
+        ((partial, (l1_sum, radii, dropped, capped, tile_capped,
+                    exch_dropped)), (g_params, g_offset)) = (
             jax.value_and_grad(local_loss, argnums=(0, 1), has_aux=True)(
                 params, offset
             )
@@ -365,6 +563,7 @@ def make_sharded_train_step(
         dropped = lax.psum(dropped, ("data",))
         capped = lax.psum(capped, ("data",))
         tile_capped = lax.psum(tile_capped, ("data", "gauss"))
+        exch_dropped = lax.psum(exch_dropped, ("data", "gauss"))
 
         # densification stats: accumulate over all cameras in the batch
         visible = radii > 0
@@ -376,18 +575,18 @@ def make_sharded_train_step(
         radii_max = lax.pmax(radii, "data")
 
         return (loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped,
-                capped, tile_capped)
+                capped, tile_capped, exch_dropped)
 
-    @jax.jit
-    def step(state: GaussianState, opt_state, cam_idx, key):
+    def step(state: GaussianState, opt_state, cam_idx, key, cams, images):
         keys = jax.random.split(key, data_size)
         (loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped, capped,
-         tile_capped) = body(
+         tile_capped, exch_dropped) = body(
             state.params,
             state.active,
             state.active_sh_degree,
             cam_idx,
             keys,
+            cams,
             images,
         )
         updates, new_opt_state = tx.update(g_params, opt_state, state.params)
@@ -410,6 +609,7 @@ def make_sharded_train_step(
             "num_dropped_pairs": dropped,
             "num_mt_capped_pairs": capped,
             "num_tile_capped": tile_capped,
+            "num_exchange_dropped": exch_dropped,
             "num_active": new_state.num_active,
         }
         return new_state, new_opt_state, metrics

@@ -250,6 +250,7 @@ def training(
     steps_per_dispatch: int = 25,
     data_shards: int = 1,
     gauss_shards: int = 1,
+    debug_from: int = -1,
 ):
     """Train a scene end-to-end. Returns (scene, final GaussianState)."""
     random.seed(seed)
@@ -350,14 +351,19 @@ def training(
         return make_train_step(tx, cam_batch, images, cfg)
 
     step = build_step()
-    n_chain = max(1, int(steps_per_dispatch)) if mesh is None else 1
+    n_chain = max(1, int(steps_per_dispatch))
     if multi_res:
         n_chain = 1  # chaining assumes one camera-batch shape
-    chained = (
-        make_train_step_chained(tx, cam_batch, images, cfg, n_chain)
-        if n_chain > 1
-        else None
-    )
+    def build_chained(cfg_now):
+        if mesh is not None:
+            from gsjax.parallel.shard import make_sharded_train_step_chained
+
+            return make_sharded_train_step_chained(
+                tx, mesh, cam_batch, images, cfg_now, n_chain
+            )
+        return make_train_step_chained(tx, cam_batch, images, cfg_now, n_chain)
+
+    chained = build_chained(cfg) if n_chain > 1 else None
     # lazily-compiled steps for the non-primary resolution buckets; cleared
     # whenever settings or capacity change (the primary rebuild sites)
     extra_bucket_steps: dict = {}
@@ -388,7 +394,14 @@ def training(
 
     def start_capacity_warm(new_c: int):
         cfg_now = cfg
-        if mesh is not None:
+        if mesh is not None and chained is not None:
+            from gsjax.parallel.shard import make_sharded_train_step_chained
+
+            build = lambda: make_sharded_train_step_chained(  # noqa: E731
+                tx, mesh, cam_batch, images, cfg_now, n_chain
+            )
+            cam_abs = jax.ShapeDtypeStruct((n_chain, data_shards), jnp.int32)
+        elif mesh is not None:
             from gsjax.parallel import make_sharded_train_step
 
             build = lambda: make_sharded_train_step(  # noqa: E731
@@ -459,6 +472,14 @@ def training(
         if gui_callback is not None:
             gui_callback(iteration, state, render_fn)
 
+        # --debug_from: from this iteration on, trap non-finite values at
+        # their producing op (reference flips the rasterizer's debug dumps
+        # on at the same point, train.py:102-103)
+        if debug_from >= 0 and iteration - 1 == debug_from:
+            jax.config.update("jax_debug_nans", True)
+            print(f"[ITER {iteration}] debug mode on (jax_debug_nans)",
+                  flush=True)
+
         # SH-degree ramp (reference train.py:72-73)
         if iteration % 1000 == 0:
             state = dataclasses.replace(
@@ -472,10 +493,17 @@ def training(
         key, k = jax.random.split(key)
         t0 = time.time()
         if chained is not None and k_len == n_chain:
-            cam_idxs = jnp.asarray(
-                [bucket_of[pop_camera()][1] for _ in range(n_chain)],
-                jnp.int32,
-            )
+            if mesh is not None:
+                cam_idxs = jnp.asarray(
+                    [[pop_camera() for _ in range(data_shards)]
+                     for _ in range(n_chain)],
+                    jnp.int32,
+                )
+            else:
+                cam_idxs = jnp.asarray(
+                    [bucket_of[pop_camera()][1] for _ in range(n_chain)],
+                    jnp.int32,
+                )
             state, opt_state, metrics = chained(state, opt_state, cam_idxs, k)
             loss = float(metrics["loss_mean"])
             n_stepped = n_chain
@@ -565,9 +593,7 @@ def training(
             step = build_step()
             extra_bucket_steps.clear()
             if chained is not None:
-                chained = make_train_step_chained(
-                    tx, cam_batch, images, cfg, n_chain
-                )
+                chained = build_chained(cfg)
             densify_step, reset_step = make_densify_step(opt, cfg)
             render_fn = make_render_fn(cfg)
 
@@ -640,14 +666,10 @@ def training(
                             cfg_now = cfg
                             chained = _with_fallback(
                                 warmed,
-                                lambda: make_train_step_chained(
-                                    tx, cam_batch, images, cfg_now, n_chain
-                                ),
+                                lambda: build_chained(cfg_now),
                             )
                         else:
-                            chained = make_train_step_chained(
-                                tx, cam_batch, images, cfg, n_chain
-                            )
+                            chained = build_chained(cfg)
                     elif warmed is not None:
                         step = _with_fallback(warmed, build_step)
                     densify_step, reset_step = make_densify_step(opt, cfg)

@@ -13,6 +13,7 @@ SH-degree ramp of training (reference: train.py:72-73).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 C0 = 0.28209479177387814
 C1 = 0.4886025119029199
@@ -33,8 +34,10 @@ C3 = (
     -0.5900435899266435,
 )
 
-# band index (0..3) of each of the 16 coefficients, for degree masking
-_BAND = jnp.array([0] + [1] * 3 + [2] * 5 + [3] * 7, dtype=jnp.int32)
+# band index (0..3) of each of the 16 coefficients, for degree masking.
+# numpy on purpose: a module-level jnp.array would initialize the JAX
+# backend at import time (before callers can pin jax_platforms)
+_BAND = np.array([0] + [1] * 3 + [2] * 5 + [3] * 7, dtype=np.int32)
 
 
 def num_sh_coeffs(degree: int) -> int:
@@ -83,7 +86,7 @@ def eval_sh(sh, dirs, degree):
     reference: gaussian_renderer/__init__.py:78).
     """
     basis = sh_basis(dirs)  # (..., 16)
-    mask = (_BAND <= degree).astype(sh.dtype)  # (16,)
+    mask = (jnp.asarray(_BAND) <= degree).astype(sh.dtype)  # (16,)
     return jnp.einsum("...k,...kc->...c", basis * mask, sh)
 
 

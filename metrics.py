@@ -111,6 +111,10 @@ def main(argv=None):
         "--model_paths", "-m", required=True, nargs="+", type=str
     )
     args = parser.parse_args(argv)
+
+    from gsjax.parallel.multihost import maybe_initialize
+
+    maybe_initialize()  # honors GSJAX_PLATFORM (CPU runs / tests)
     evaluate(args.model_paths)
 
 

@@ -86,6 +86,12 @@ def main(argv=None):
     parser.add_argument("--quiet", action="store_true")
     args = get_combined_args(parser, argv)
 
+    from gsjax.parallel.multihost import maybe_initialize
+    from gsjax.utils.system import safe_state
+
+    maybe_initialize()  # honors GSJAX_PLATFORM (CPU runs / tests)
+    safe_state(args.quiet)  # reference render.py:61
+
     model = extract(ModelParams, args)
     print(f"Rendering {model.model_path}")
     render_sets(model, args.iteration, args.skip_train, args.skip_test)

@@ -1,0 +1,345 @@
+#!/usr/bin/env python
+"""Generate a benchmark-scale photometric COLMAP scene for end-to-end
+training evidence (no real datasets are mounted in this environment).
+
+The scene is Garden-class in structure: a textured ground disk plus a set
+of textured solids (spheres, torus, box) built from ~250k surface-aligned
+flat Gaussians with procedural multi-frequency textures, rendered from an
+orbit ring of cameras with the gsjax renderer itself. Output is standard
+COLMAP layout (sparse/0/{cameras,images,points3D}.bin + images/*.png), so
+``train.py -s <dir> --eval`` consumes it exactly like a real capture
+(reference dataset contract: scene/dataset_readers.py readColmapSceneInfo).
+The sparse init is an SfM-like subsample: jittered surface points with
+noisy colors — training must densify ~10x to fit the texture detail.
+
+Usage:
+    python scripts/make_synthetic_scene.py out_dir \
+        [--n_gauss 250000] [--n_views 120] [--width 800] [--height 800]
+        [--n_sparse 30000] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# procedural textures: multi-frequency color fields over 3D points
+# ---------------------------------------------------------------------------
+
+
+def _tex_checker(p, scale, c0, c1):
+    m = (np.floor(p[:, 0] * scale) + np.floor(p[:, 1] * scale)) % 2
+    return np.where(m[:, None] > 0.5, c1, c0)
+
+
+def _tex_waves(p, freqs, phases, palette):
+    """Smooth multi-frequency field: sum of sinusoids -> palette blend."""
+    t = np.zeros(len(p))
+    for (fx, fy, fz), ph in zip(freqs, phases):
+        t += np.sin(fx * p[:, 0] + fy * p[:, 1] + fz * p[:, 2] + ph)
+    t = (t / len(freqs) + 1.0) / 2.0  # [0, 1]
+    idx = np.clip(t * (len(palette) - 1), 0, len(palette) - 1.001)
+    lo = idx.astype(int)
+    frac = (idx - lo)[:, None]
+    pal = np.asarray(palette)
+    return pal[lo] * (1 - frac) + pal[lo + 1] * frac
+
+
+def _tangent_quats(normals, rng):
+    """Quaternions (w,x,y,z) whose local z-axis == the surface normal, with
+    a random in-plane spin (so flat gaussians lie in the surface)."""
+    n = normals / np.linalg.norm(normals, axis=1, keepdims=True)
+    # pick any tangent
+    a = np.where(
+        np.abs(n[:, 2:3]) < 0.9,
+        np.tile([0.0, 0.0, 1.0], (len(n), 1)),
+        np.tile([1.0, 0.0, 0.0], (len(n), 1)),
+    )
+    t = np.cross(a, n)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    b = np.cross(n, t)
+    spin = rng.uniform(0, 2 * np.pi, len(n))
+    cs, sn = np.cos(spin)[:, None], np.sin(spin)[:, None]
+    t2 = t * cs + b * sn
+    b2 = -t * sn + b * cs
+    R = np.stack([t2, b2, n], axis=2)  # columns = local axes
+    from gsjax.data.colmap import rotmat_to_qvec
+
+    return np.stack([rotmat_to_qvec(R[i]) for i in range(len(R))])
+
+
+# ---------------------------------------------------------------------------
+# surfaces
+# ---------------------------------------------------------------------------
+
+
+def _disk(n, rng, z=-0.8, radius=4.0):
+    r = radius * np.sqrt(rng.uniform(0, 1, n))
+    th = rng.uniform(0, 2 * np.pi, n)
+    pts = np.stack([r * np.cos(th), r * np.sin(th), np.full(n, z)], axis=1)
+    normals = np.tile([0.0, 0.0, 1.0], (n, 1))
+    area = np.pi * radius**2
+    colors = 0.6 * _tex_checker(pts, 1.25, [0.45, 0.35, 0.25], [0.25, 0.3, 0.2])
+    colors += 0.4 * _tex_waves(
+        pts, [(3.1, 1.7, 0.0), (7.3, 5.1, 0.0), (13.7, 11.1, 0.0)],
+        [0.0, 1.3, 2.9],
+        [[0.2, 0.15, 0.1], [0.5, 0.45, 0.3], [0.35, 0.4, 0.3], [0.6, 0.55, 0.5]],
+    )
+    return pts, normals, colors, area
+
+
+def _sphere(n, rng, center, radius, palette, freqs):
+    v = rng.normal(0, 1, (n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = np.asarray(center) + radius * v
+    area = 4 * np.pi * radius**2
+    colors = _tex_waves(
+        pts - center, freqs, [0.0, 1.1, 2.2], palette
+    )
+    return pts, v, colors, area
+
+
+def _torus(n, rng, center, R, r, palette):
+    u = rng.uniform(0, 2 * np.pi, n)
+    v = rng.uniform(0, 2 * np.pi, n)
+    cu, su, cv, sv = np.cos(u), np.sin(u), np.cos(v), np.sin(v)
+    pts = np.stack(
+        [(R + r * cv) * cu, (R + r * cv) * su, r * sv], axis=1
+    ) + np.asarray(center)
+    normals = np.stack([cv * cu, cv * su, sv], axis=1)
+    area = 4 * np.pi**2 * R * r
+    stripes = _tex_checker(np.stack([u * 2, v * 2], 1) / np.pi, 1.0,
+                           palette[0], palette[1])
+    return pts, normals, stripes, area
+
+
+def _box(n, rng, center, half, palette):
+    face = rng.integers(0, 6, n)
+    uv = rng.uniform(-1, 1, (n, 2))
+    pts = np.zeros((n, 3))
+    normals = np.zeros((n, 3))
+    areas = np.zeros(3)
+    h = np.asarray(half)
+    for f in range(6):
+        ax = f // 2
+        sgn = 1.0 if f % 2 == 0 else -1.0
+        m = face == f
+        others = [i for i in range(3) if i != ax]
+        pts[m, ax] = sgn * h[ax]
+        pts[m, others[0]] = uv[m, 0] * h[others[0]]
+        pts[m, others[1]] = uv[m, 1] * h[others[1]]
+        normals[m, ax] = sgn
+    pts += np.asarray(center)
+    area = 8 * (h[0] * h[1] + h[1] * h[2] + h[0] * h[2])
+    colors = _tex_waves(
+        pts - center, [(9.0, 2.0, 4.0), (2.0, 11.0, 3.0)], [0.4, 2.0], palette
+    )
+    return pts, normals, colors, area
+
+
+def build_gt_model(n_total: int, seed: int = 0):
+    """Assemble the GT gaussian set (post-activation arrays)."""
+    rng = np.random.default_rng(seed)
+    specs = [
+        lambda n: _disk(n, rng),
+        lambda n: _sphere(
+            n, rng, [0.0, 0.0, 0.2], 1.0,
+            [[0.7, 0.2, 0.15], [0.85, 0.6, 0.2], [0.9, 0.85, 0.7]],
+            [(6.0, 6.0, 6.0), (15.0, 4.0, 9.0), (25.0, 21.0, 14.0)],
+        ),
+        lambda n: _sphere(
+            n, rng, [1.8, 1.2, -0.3], 0.5,
+            [[0.15, 0.3, 0.6], [0.4, 0.65, 0.8], [0.8, 0.9, 0.95]],
+            [(11.0, 7.0, 5.0), (23.0, 17.0, 2.0)],
+        ),
+        lambda n: _sphere(
+            n, rng, [-1.6, 1.5, -0.35], 0.45,
+            [[0.2, 0.5, 0.2], [0.5, 0.7, 0.3], [0.9, 0.9, 0.6]],
+            [(9.0, 13.0, 6.0), (19.0, 3.0, 15.0)],
+        ),
+        lambda n: _torus(
+            n, rng, [-1.2, -1.6, -0.55], 0.7, 0.22,
+            [[0.6, 0.3, 0.6], [0.9, 0.8, 0.3]],
+        ),
+        lambda n: _box(
+            n, rng, [1.4, -1.5, -0.45], [0.4, 0.4, 0.35],
+            [[0.55, 0.25, 0.1], [0.8, 0.5, 0.25], [0.95, 0.8, 0.55]],
+        ),
+    ]
+    # probe areas with tiny samples, then allocate n proportional to area
+    probes = [s(16) for s in specs]
+    areas = np.asarray([p[3] for p in probes])
+    weights = areas / areas.sum()
+    counts = np.maximum((weights * n_total).astype(int), 1000)
+
+    pts_l, nrm_l, col_l, scl_l = [], [], [], []
+    for s, cnt, area in zip(specs, counts, areas):
+        p, n, c, _ = s(int(cnt))
+        pts_l.append(p)
+        nrm_l.append(n)
+        col_l.append(np.clip(c, 0.02, 0.98))
+        # coverage-complete footprint: ~sqrt(area per splat), x2 overlap
+        sigma = 2.0 * np.sqrt(area / cnt)
+        scl_l.append(np.full((int(cnt),), sigma))
+    pts = np.concatenate(pts_l).astype(np.float32)
+    nrm = np.concatenate(nrm_l).astype(np.float32)
+    col = np.concatenate(col_l).astype(np.float32)
+    sig = np.concatenate(scl_l).astype(np.float32)
+
+    n = len(pts)
+    scales = np.stack([sig, sig, sig * 0.1], axis=1)  # flat along the normal
+    scales *= np.exp(rng.normal(0, 0.15, (n, 3))).astype(np.float32)
+    quats = _tangent_quats(nrm, rng).astype(np.float32)
+    opac = rng.uniform(0.75, 0.98, n).astype(np.float32)
+
+    from gsjax.utils.sh import rgb_to_sh
+
+    shs = np.zeros((n, 16, 3), np.float32)
+    shs[:, 0] = np.asarray(rgb_to_sh(col))
+    # mild view dependence on the degree-1 bands (specular-ish sheen)
+    shs[:, 1:4] = rng.normal(0, 0.04, (n, 3, 3)).astype(np.float32)
+    return pts, scales, quats, opac, shs, col
+
+
+# ---------------------------------------------------------------------------
+# rendering + COLMAP output
+# ---------------------------------------------------------------------------
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--n_gauss", type=int, default=250_000)
+    ap.add_argument("--n_views", type=int, default=120)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=800)
+    ap.add_argument("--n_sparse", type=int, default=30_000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None,
+                    help="pin the JAX backend (e.g. cpu) before first use")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gsjax.data.cameras import Camera
+    from gsjax.data.colmap import (
+        ColmapCamera,
+        ColmapImage,
+        rotmat_to_qvec,
+        write_cameras_binary,
+        write_images_binary,
+        write_points3d_binary,
+    )
+    from gsjax.ops.rasterize import RasterizeSettings, render
+
+    print(f"building GT model ({args.n_gauss} target gaussians)...",
+          flush=True)
+    pts, scales, quats, opac, shs, col = build_gt_model(
+        args.n_gauss, args.seed
+    )
+    n = len(pts)
+    print(f"  {n} gaussians", flush=True)
+
+    # cameras: two orbit rings (low + high elevation), all looking at origin
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests"),
+    )
+    from fixtures import camera_from_c2w, ring_c2w_opengl
+
+    fov_x = 1.1
+    cams = []
+    rng = np.random.default_rng(args.seed + 1)
+    for i in range(args.n_views):
+        ring = i % 2
+        az = 2 * np.pi * i / args.n_views + rng.normal(0, 0.02)
+        elev = (0.28 if ring == 0 else 0.55) + rng.normal(0, 0.03)
+        radius = 7.0 + rng.normal(0, 0.15)
+        c2w = ring_c2w_opengl(radius, az, elev)
+        cams.append(
+            camera_from_c2w(
+                c2w, fov_x, args.width, args.height, i, f"{i:04d}.png"
+            )
+        )
+
+    # render GT images (in device-capacity chunks if needed)
+    settings = RasterizeSettings(
+        max_pairs=1 << 22, max_splats_per_tile=2048, chunk=32,
+        max_tiles_per_gauss=32,
+    )
+    margs = (
+        jnp.asarray(pts), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), jnp.asarray(shs),
+    )
+    bg = jnp.zeros(3)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def render_one(cam_arrays):
+        return render(cam_arrays, *margs, 3, bg, settings)["render"]
+
+    img_dir = os.path.join(args.out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    import time
+
+    t0 = time.time()
+    for i, cam in enumerate(cams):
+        out = render_one(cam.to_render_camera())
+        img = np.clip(np.asarray(out), 0, 1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(img_dir, cam.image_name)
+        )
+        if i % 10 == 0:
+            print(f"  rendered {i + 1}/{len(cams)} "
+                  f"({(time.time() - t0) / (i + 1):.1f}s/view)", flush=True)
+
+    # COLMAP sparse model
+    sparse_dir = os.path.join(args.out_dir, "sparse", "0")
+    os.makedirs(sparse_dir, exist_ok=True)
+    f_len = 0.5 * args.width / np.tan(0.5 * fov_x)
+    ccam = ColmapCamera(
+        1, "PINHOLE", args.width, args.height,
+        np.array([f_len, f_len, args.width / 2, args.height / 2]),
+    )
+    write_cameras_binary({1: ccam}, os.path.join(sparse_dir, "cameras.bin"))
+    cimages = {}
+    for i, cam in enumerate(cams):
+        # Camera stores R = w2c rotation TRANSPOSED (reference convention);
+        # COLMAP images.bin wants the w2c quaternion + translation
+        w2c_R = cam.R.T
+        cimages[i + 1] = ColmapImage(
+            i + 1, rotmat_to_qvec(w2c_R), cam.T, 1, cam.image_name
+        )
+    write_images_binary(cimages, os.path.join(sparse_dir, "images.bin"))
+
+    # SfM-like sparse init: jittered subsample with noisy colors
+    rng = np.random.default_rng(args.seed + 2)
+    sel = rng.choice(n, size=min(args.n_sparse, n), replace=False)
+    sp = pts[sel] + rng.normal(0, 0.01, (len(sel), 3))
+    sc = np.clip(
+        col[sel] + rng.normal(0, 0.05, (len(sel), 3)), 0, 1
+    )
+    write_points3d_binary(
+        sp, (sc * 255).astype(np.uint8),
+        os.path.join(sparse_dir, "points3D.bin"),
+    )
+    print(f"wrote {args.out_dir}: {len(cams)} views "
+          f"{args.width}x{args.height}, {len(sel)} sparse points", flush=True)
+
+
+if __name__ == "__main__":
+    main()

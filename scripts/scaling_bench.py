@@ -30,6 +30,12 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument(
+        "--exchange", default="all_gather",
+        choices=("all_gather", "a2a"),
+        help="splat exchange strategy (a2a = tile-owner all_to_all, "
+             "O(N/G) per-chip memory)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -76,7 +82,10 @@ def main(argv=None):
         sstate = shard_gaussian_state(state, mesh)
         opt_state = tx.init(sstate.params)
         cfg = TrainConfig(
-            settings=RasterizeSettings(max_pairs=1 << (22 if not args.cpu else 14)),
+            settings=RasterizeSettings(
+                max_pairs=1 << (22 if not args.cpu else 14),
+                splat_exchange=args.exchange,
+            ),
             extent=3.0,
         )
         step = make_sharded_train_step(tx, mesh, cams, images, cfg)
@@ -94,6 +103,7 @@ def main(argv=None):
 
     base = results[1]
     report = {
+        "exchange": args.exchange,
         "iters_per_s": {str(k): round(v, 3) for k, v in results.items()},
         "efficiency": {
             str(k): round(v / (base * k), 4) for k, v in results.items()

@@ -8,6 +8,7 @@ jitted programs — CPU compiles of the full pipeline are expensive, steady
 state is not.
 """
 
+import dataclasses
 import functools
 
 import jax
@@ -536,3 +537,75 @@ def test_tile_truncation_is_surfaced():
         np.asarray(tight["render"]).sum()
         < np.asarray(roomy["render"]).sum() - 1e-3
     )
+
+
+def test_tiered_binning_matches_untiered():
+    """Tiered binning (small-footprint gaussians expanded at mt/4 slots)
+    must reproduce the untiered render and gradients exactly when nothing
+    tier-caps — the permutation is internal bookkeeping (gauss_inv_perm
+    un-permutes the backward reduction's row-ordered sums)."""
+    cam, gs = scene()
+    args = full_args(gs)
+    probe = jnp.asarray(np.random.default_rng(17).normal(size=(H, W, 3)))
+    base = RasterizeSettings(max_pairs=1 << 16, max_splats_per_tile=512,
+                             chunk=32)
+    tiered = dataclasses.replace(base, tier_frac=0.5)
+    out_u = render(cam, *gs, 3, BG, base,
+                   active_mask=args[5], means2d_offset=args[6])
+    out_t = render(cam, *gs, 3, BG, tiered,
+                   active_mask=args[5], means2d_offset=args[6])
+    assert int(out_t["num_tier_capped"]) == 0
+    assert int(out_t["num_dropped"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(out_t["render"]), np.asarray(out_u["render"]), atol=2e-5
+    )
+    # gradients through the pallas backend exercise gauss_inv_perm in both
+    # reduction modes
+    g_ref = naive_grad()(cam, *args, probe)
+    for mode in ("gather", "sort"):
+        fn = _probe_loss(
+            render,
+            settings=dataclasses.replace(
+                tiered, backend="pallas", pallas_chunk=128, grad_reduce=mode
+            ),
+        )
+        g_t = fn(cam, *args, probe)
+        for name, a, b in zip(
+            ["means3d", "scales", "quats", "opacities", "shs", "offset"],
+            g_t, g_ref,
+        ):
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4,
+                err_msg=f"{mode}:{name}",
+            )
+
+
+def test_tiered_binning_tier_cap_counter():
+    """When more than (1 - tier_frac) * n gaussians exceed the small-tier
+    slot budget, the overflow is surfaced in num_tier_capped (subset of
+    num_mt_capped) so the trainer can back tier_frac off."""
+    from gsjax.ops.projection import Splats
+
+    n, mt = 16, 8  # mt_small = 2
+    rect_min = jnp.zeros((n, 2), jnp.int32)
+    rect_max = jnp.broadcast_to(jnp.asarray([[2, 2]], jnp.int32), (n, 2))
+    touched = jnp.full((n,), 4, jnp.int32)  # every gaussian needs 4 > 2
+    splats = Splats(
+        means2d=jnp.zeros((n, 2)), depths=jnp.linspace(1, 2, n),
+        conics=jnp.zeros((n, 3)), colors=jnp.zeros((n, 3)),
+        opacities=jnp.zeros(n), radii=jnp.ones(n, jnp.int32),
+        rect_min=rect_min, rect_max=rect_max, tiles_touched=touched,
+    )
+    bins = build_tile_bins(splats, 4, 4, max_pairs=1 << 10,
+                           max_tiles_per_gauss=mt, tier_frac=0.5)
+    # 8 rows in the small tier lose (4 - 2) pairs each
+    assert int(bins.num_tier_capped) == 8 * 2
+    assert int(bins.num_mt_capped) == 8 * 2  # no plain mt caps (4 < 8)
+    assert int(bins.num_dropped) == 8 * 2
+    # pair_gauss holds ORIGINAL indices: every gaussian appears
+    pg = np.asarray(bins.pair_gauss)[: int(bins.num_pairs)]
+    assert set(pg.tolist()) == set(range(n))
+    # inv_perm is a permutation
+    inv = np.asarray(bins.gauss_inv_perm)
+    assert sorted(inv.tolist()) == list(range(n))

@@ -50,13 +50,45 @@ def main(argv=None):
                         help="mesh axis: cameras per step (data parallel)")
     parser.add_argument("--gauss_shards", type=int, default=1,
                         help="mesh axis: gaussian/tile-strip sharding")
+    parser.add_argument("--multihost", action="store_true",
+                        help="jax.distributed.initialize() with TPU-pod "
+                             "auto-detection (one process per host)")
+    parser.add_argument("--dist_coordinator", type=str, default=None,
+                        metavar="HOST:PORT",
+                        help="explicit jax.distributed coordinator (with "
+                             "--dist_num_processes/--dist_process_id)")
+    parser.add_argument("--dist_num_processes", type=int, default=None)
+    parser.add_argument("--dist_process_id", type=int, default=None)
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
+    from gsjax.parallel.multihost import is_main_process, maybe_initialize
+
+    distributed = maybe_initialize(
+        coordinator=args.dist_coordinator,
+        num_processes=args.dist_num_processes,
+        process_id=args.dist_process_id,
+        multihost=args.multihost,
+    )
+
     import jax
+
+    if distributed:
+        print(
+            f"[dist] process {jax.process_index()}/{jax.process_count()}: "
+            f"{jax.local_device_count()} local / "
+            f"{jax.device_count()} global devices"
+        )
+        if not is_main_process():
+            args.quiet = True
+            args.disable_viewer = True
 
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
+
+    from gsjax.utils.system import safe_state
+
+    safe_state(args.quiet, args.seed)  # reference train.py:214
 
     model = extract(ModelParams, args)
     opt = extract(OptimizationParams, args)
@@ -101,6 +133,7 @@ def main(argv=None):
             steps_per_dispatch=args.steps_per_dispatch,
             data_shards=args.data_shards,
             gauss_shards=args.gauss_shards,
+            debug_from=args.debug_from,
         )
     print("\nTraining complete.")
 
