@@ -73,12 +73,19 @@ def _backend_cross_check():
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _toy_scene
     from gsjax.ops.rasterize import RasterizeSettings
     from gsjax.train.step import render_state
+
+    ap = argparse.ArgumentParser()
+    # A/B knob for the tiered binning sort (0 = dense grid, the default)
+    ap.add_argument("--tier_frac", type=float, default=0.0)
+    args = ap.parse_args()
 
     xcheck_diff = _backend_cross_check()
 
@@ -90,9 +97,12 @@ def main():
     )
     rcam = cam.to_render_camera()
     bg = jnp.zeros(3)
-    fwd_settings = RasterizeSettings(max_pairs=1 << 22, backend="pallas")
+    fwd_settings = RasterizeSettings(
+        max_pairs=1 << 22, backend="pallas", tier_frac=args.tier_frac
+    )
     bwd_settings = RasterizeSettings(
-        max_pairs=1 << 22, max_splats_per_tile=1024, chunk=32, backend="pallas"
+        max_pairs=1 << 22, max_splats_per_tile=1024, chunk=32,
+        backend="pallas", tier_frac=args.tier_frac,
     )
 
     # measure the host round-trip with a trivial computation
@@ -181,6 +191,7 @@ def main():
             "n_gaussians": n_gauss,
             "resolution": f"{width}x{height}",
             "rtt_ms": round(rtt * 1000, 1),
+            "tier_frac": args.tier_frac,
             "device": str(jax.devices()[0]),
             "backend_xcheck_max_diff": round(xcheck_diff, 6),
             "roofline_frac": round(roofline_frac, 4),

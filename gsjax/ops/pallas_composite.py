@@ -235,6 +235,129 @@ def _composite_kernel(
     )
 
 
+def _composite_infer_kernel(
+    # scalar prefetch
+    tile_start_ref,
+    # inputs
+    pair_attrs_hbm,  # (n_chunks, 16, chunk) HBM, chunk-major
+    # outputs
+    out_ref,  # (1, PIX, 8): r, g, b, T, pad x4
+    # scratch
+    buf,  # (2, ATTR_W, CHUNK) f32 VMEM
+    sems,  # (2,) DMA semaphores
+    *,
+    chunk,
+    tiles_x,
+):
+    """Forward-only (inference) variant of :func:`_composite_kernel`.
+
+    Identical blend + early-termination semantics (a splat whose blend
+    would push T under T_EPS is skipped with everything behind it — same
+    image and final_T), but no ``n_contrib`` bookkeeping: pure rendering
+    (render.py, the viewer, the fwd bench) never replays a backward, so
+    those VPU op chains are dead weight there."""
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    end = tile_start_ref[t + 1]
+    win = (start // chunk) * chunk
+
+    tx = t % tiles_x
+    ty = t // tiles_x
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (tx * TILE + p_idx % TILE).astype(jnp.float32)
+    py = (ty * TILE + p_idx // TILE).astype(jnp.float32)
+
+    num_chunks = pl.cdiv(end - win, chunk)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            pair_attrs_hbm.at[win // chunk + ci],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri_incl = (lane_r <= lane_c).astype(jnp.float32)
+    tri_excl = (lane_r < lane_c).astype(jnp.float32)
+
+    def chunk_body(state):
+        ci, all_done, logT, done, acc_r, acc_g, acc_b = state
+
+        @pl.when(ci + 1 < num_chunks)
+        def _():
+            dma((ci + 1) % 2, ci + 1).start()
+
+        dma(ci % 2, ci).wait()
+        slot = ci % 2
+        mean_x = buf[slot, 0:1, :]
+        mean_y = buf[slot, 1:2, :]
+        ca = buf[slot, 2:3, :]
+        cb = buf[slot, 3:4, :]
+        cc = buf[slot, 4:5, :]
+        op = buf[slot, 5:6, :]
+        col_r = buf[slot, 6:7, :]
+        col_g = buf[slot, 7:8, :]
+        col_b = buf[slot, 8:9, :]
+
+        gidx = win + ci * chunk + lane
+        dx = px - mean_x
+        dy = py - mean_y
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+        ok = (
+            (gidx >= start) & (gidx < end)
+            & (power <= 0.0) & (alpha >= ALPHA_MIN)
+            & (done < 0.5)
+        )
+        alpha = jnp.where(ok, alpha, 0.0)
+
+        lg = jnp.log1p(-alpha)
+        cum = jnp.dot(lg, tri_incl, preferred_element_type=jnp.float32)
+        trip = (ok & (logT + cum < LOG_T_EPS)).astype(jnp.float32)
+        tripped = jnp.dot(trip, tri_incl, preferred_element_type=jnp.float32)
+        done_inc = tripped > 0.0
+
+        alpha_eff = jnp.where(done_inc, 0.0, alpha)
+        lg_eff = jnp.where(done_inc, 0.0, lg)
+        cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32)
+        w = alpha_eff * jnp.exp(logT + cum_excl)
+
+        acc_r = acc_r + jnp.sum(w * col_r, axis=1, keepdims=True)
+        acc_g = acc_g + jnp.sum(w * col_g, axis=1, keepdims=True)
+        acc_b = acc_b + jnp.sum(w * col_b, axis=1, keepdims=True)
+
+        logT = logT + jnp.sum(lg_eff, axis=1, keepdims=True)
+        done = jnp.maximum(done, jnp.max(trip, axis=1, keepdims=True))
+        all_done = (jnp.sum(done) >= PIX).astype(jnp.int32)
+        return ci + 1, all_done, logT, done, acc_r, acc_g, acc_b
+
+    def chunk_cond(state):
+        ci, all_done, *_ = state
+        return (ci < num_chunks) & (all_done == 0)
+
+    zeros = jnp.zeros((PIX, 1), jnp.float32)
+    init = (jnp.int32(0), jnp.int32(0), zeros, zeros, zeros, zeros, zeros)
+    ci, _, logT, done, acc_r, acc_g, acc_b = jax.lax.while_loop(
+        chunk_cond, chunk_body, init
+    )
+
+    @pl.when(ci < num_chunks)
+    def _():
+        dma(ci % 2, ci).wait()
+
+    zero = jnp.zeros((PIX, 1), jnp.float32)
+    out_ref[0] = jnp.concatenate(
+        [acc_r, acc_g, acc_b, jnp.exp(logT), zero, zero, zero, zero],
+        axis=1,
+    )
+
+
 def composite_tiles_pallas(
     pair_attrs,  # (16, P + chunk) f32 from pack_pair_attrs
     tile_start,  # (T + 1,) int32 compact sorted ranges
@@ -242,9 +365,11 @@ def composite_tiles_pallas(
     tiles_y: int,
     chunk: int = CHUNK,
     interpret: bool | None = None,
+    infer: bool = False,
 ):
     """Forward compositing. Returns (tile_colors (T, PIX, 3), tile_T (T, PIX),
-    n_contrib (T, PIX) int32)."""
+    n_contrib (T, PIX) int32). With ``infer=True`` the bookkeeping-free
+    kernel runs and n_contrib is all zeros (images differ < T_EPS)."""
     if interpret is None:
         interpret = _interpret_default()
     num_t = tiles_x * tiles_y
@@ -260,8 +385,9 @@ def composite_tiles_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    kern = _composite_infer_kernel if infer else _composite_kernel
     out = pl.pallas_call(
-        functools.partial(_composite_kernel, chunk=chunk, tiles_x=tiles_x),
+        functools.partial(kern, chunk=chunk, tiles_x=tiles_x),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_t, PIX, 8), jnp.float32),
         interpret=interpret,
@@ -723,8 +849,10 @@ def _composite_vjp(
         pair_gauss, means2d, conics, colors, opacities, chunk,
         pair_slot=pair_slot,
     )
+    # primal-only call = pure rendering (render.py, viewer, fwd bench):
+    # take the bookkeeping-free inference kernel
     tc, tT, _ = composite_tiles_pallas(
-        pair_attrs, tile_start, tiles_x, tiles_y, chunk
+        pair_attrs, tile_start, tiles_x, tiles_y, chunk, infer=True
     )
     return tc, tT
 

@@ -191,7 +191,8 @@ def _render_strip(
     """Render this chip's tile strip from all chips' splats.
 
     Returns (strip_image (strips_y*16, W, 3), strip_T, radii_shard,
-    num_dropped, num_mt_capped, num_tile_capped, num_exchange_dropped).
+    num_dropped, num_mt_capped, num_tier_capped, num_tile_capped,
+    num_exchange_dropped).
     Strip row offset = axis_index * strips_y tiles.
     """
     tiles_x, _ = num_tiles(camera.width, camera.height)
@@ -278,7 +279,8 @@ def _render_strip(
         tile_colors, tile_T, bg, tiles_x, strips_y, camera.width, strips_y * TILE
     )
     return (strip_img, strip_T, splats.radii, bins.num_dropped,
-            bins.num_mt_capped, tile_capped, exch_dropped)
+            bins.num_mt_capped, bins.num_tier_capped, tile_capped,
+            exch_dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +368,7 @@ def make_sharded_render(
     )
     def body(params, active, sh_degree, camera, bg):
         offset = jnp.zeros((params["xyz"].shape[0], 2))
-        strip, strip_T, _, _, _, _, _ = _render_strip(
+        strip, strip_T, _, _, _, _, _, _ = _render_strip(
             params, active, sh_degree, camera, offset, bg,
             settings, strips_y, gauss_size,
         )
@@ -443,6 +445,7 @@ def make_sharded_train_step_chained(
         metrics["loss_mean"] = jnp.mean(ms["loss"])
         metrics["num_dropped_pairs"] = jnp.max(ms["num_dropped_pairs"])
         metrics["num_mt_capped_pairs"] = jnp.max(ms["num_mt_capped_pairs"])
+        metrics["num_tier_capped_pairs"] = jnp.max(ms["num_tier_capped_pairs"])
         metrics["num_tile_capped"] = jnp.max(ms["num_tile_capped"])
         metrics["num_exchange_dropped"] = jnp.max(ms["num_exchange_dropped"])
         metrics["num_budget_dropped"] = jnp.max(
@@ -496,6 +499,7 @@ def _make_sharded_step_impl(tx, mesh: Mesh, cameras: RenderCamera, cfg):
             P(),  # l1
             P(),  # dropped pairs
             P(),  # mt-capped pairs
+            P(),  # tier-capped pairs (small-tier slot overflow)
             P(),  # tile-capped pairs (xla compositor truncation)
             P(),  # exchange-dropped splats (a2a send overflow)
         ),
@@ -534,7 +538,7 @@ def _make_sharded_step_impl(tx, mesh: Mesh, cameras: RenderCamera, cfg):
             loss = (1-lam)*L1 + lam*(1-SSIM) = psum(partial) + lam, with
             partial = ((1-lam)*l1_sum - lam*ssim_sum) / n_pix.
             """
-            (strip, _, radii, dropped, capped, tile_capped,
+            (strip, _, radii, dropped, capped, tier_capped, tile_capped,
              exch_dropped) = _render_strip(
                 params, active, sh_degree, camera, offset, bg,
                 settings, strips_y, gauss_size,
@@ -543,11 +547,11 @@ def _make_sharded_step_impl(tx, mesh: Mesh, cameras: RenderCamera, cfg):
             l1_sum = jnp.sum(jnp.abs(strip - gt_strip) * row_valid[:, None, None])
             ssim_sum = _ssim_partial_sum(strip, gt_strip, row_valid, "gauss")
             partial = ((1.0 - lam) * l1_sum - lam * ssim_sum) / n_pix
-            return partial, (l1_sum, radii, dropped, capped, tile_capped,
-                             exch_dropped)
+            return partial, (l1_sum, radii, dropped, capped, tier_capped,
+                             tile_capped, exch_dropped)
 
         offset = jnp.zeros((params["xyz"].shape[0], 2))
-        ((partial, (l1_sum, radii, dropped, capped, tile_capped,
+        ((partial, (l1_sum, radii, dropped, capped, tier_capped, tile_capped,
                     exch_dropped)), (g_params, g_offset)) = (
             jax.value_and_grad(local_loss, argnums=(0, 1), has_aux=True)(
                 params, offset
@@ -562,6 +566,7 @@ def _make_sharded_step_impl(tx, mesh: Mesh, cameras: RenderCamera, cfg):
         l1 = lax.pmean(l1, "data")
         dropped = lax.psum(dropped, ("data",))
         capped = lax.psum(capped, ("data",))
+        tier_capped = lax.psum(tier_capped, ("data",))
         tile_capped = lax.psum(tile_capped, ("data", "gauss"))
         exch_dropped = lax.psum(exch_dropped, ("data", "gauss"))
 
@@ -575,12 +580,12 @@ def _make_sharded_step_impl(tx, mesh: Mesh, cameras: RenderCamera, cfg):
         radii_max = lax.pmax(radii, "data")
 
         return (loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped,
-                capped, tile_capped, exch_dropped)
+                capped, tier_capped, tile_capped, exch_dropped)
 
     def step(state: GaussianState, opt_state, cam_idx, key, cams, images):
         keys = jax.random.split(key, data_size)
         (loss, g_params, norm_inc, denom_inc, radii_max, l1, dropped, capped,
-         tile_capped, exch_dropped) = body(
+         tier_capped, tile_capped, exch_dropped) = body(
             state.params,
             state.active,
             state.active_sh_degree,
@@ -608,6 +613,7 @@ def _make_sharded_step_impl(tx, mesh: Mesh, cameras: RenderCamera, cfg):
             "l1": l1,
             "num_dropped_pairs": dropped,
             "num_mt_capped_pairs": capped,
+            "num_tier_capped_pairs": tier_capped,
             "num_tile_capped": tile_capped,
             "num_exchange_dropped": exch_dropped,
             "num_active": new_state.num_active,

@@ -114,17 +114,46 @@ def _with_fallback(compiled, builder):
     return call
 
 
+def _warmed_densify(warmed, inline_fn):
+    """Dispatch densify calls to the AOT-precompiled executable for the
+    matching ``use_screen_size`` variant (the static arg is baked into each
+    executable), falling back to the inline jit for missing variants or
+    aval drift."""
+    wrapped = {}
+    for us in (False, True):
+        compiled = warmed.get(f"densify_{us}")
+        if compiled is not None:
+            wrapped[us] = _with_fallback(
+                compiled,
+                lambda us=us: (
+                    lambda s, o, k: inline_fn(s, o, k, use_screen_size=us)
+                ),
+            )
+
+    def call(state, opt_state, key, use_screen_size):
+        fn = wrapped.get(bool(use_screen_size))
+        if fn is None:
+            return inline_fn(
+                state, opt_state, key, use_screen_size=use_screen_size
+            )
+        return fn(state, opt_state, key)
+
+    return call
+
+
 class CapacityWarmer:
-    """Compiles the next capacity bucket's train step in a background
-    thread, so densification growth swaps in a ready executable instead of
-    stalling training on a recompile (the reference has no analogue — its
+    """Compiles the next capacity bucket's hot functions in a background
+    thread, so densification growth swaps in ready executables instead of
+    stalling training on recompiles (the reference has no analogue — its
     CUDA kernels are shape-polymorphic; XLA specializes on shapes).
 
-    Usage: ``maybe_start`` once the active count approaches the watermark;
-    ``take`` at growth time returns the compiled executable (or None if
-    not ready / settings changed, in which case the caller compiles
-    inline as before). Failures are swallowed — warming is best-effort.
-    """
+    ``maybe_start(key, jobs)`` takes ``jobs`` as a dict
+    ``name -> (build_fn, args, kwargs)`` where ``build_fn()`` returns a
+    jitted function and ``args``/``kwargs`` are its abstract
+    (ShapeDtypeStruct) call signature. ``take`` at growth time returns
+    ``{name: compiled}`` (names whose compile failed are absent), or None
+    if not ready / key changed — the caller then compiles inline as
+    before. Failures are swallowed — warming is best-effort."""
 
     def __init__(self):
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
@@ -132,15 +161,22 @@ class CapacityWarmer:
         self._future = None
 
     @staticmethod
-    def _job(build_fn, abstract_args):
-        fn = build_fn()
-        return fn.lower(*abstract_args).compile()
+    def _job(jobs):
+        out = {}
+        for name, (build_fn, args, kwargs) in jobs.items():
+            try:
+                fn = build_fn()
+                out[name] = fn.lower(*args, **kwargs).compile()
+            except Exception as e:  # pragma: no cover - best effort
+                print(f"[warm] precompile of {name} failed "
+                      f"({type(e).__name__}: {e})", flush=True)
+        return out
 
-    def maybe_start(self, key, build_fn, abstract_args):
+    def maybe_start(self, key, jobs):
         if self._key == key:
             return
         self._key = key
-        self._future = self._pool.submit(self._job, build_fn, abstract_args)
+        self._future = self._pool.submit(self._job, jobs)
 
     def take(self, key):
         if self._key != key or self._future is None or not self._future.done():
@@ -418,13 +454,28 @@ def training(
                 tx, cam_batch, images, cfg_now
             )
             cam_abs = jax.ShapeDtypeStruct((), jnp.int32)
-        abstract = (
-            _grown_abstract(state, state.capacity, new_c),
-            _grown_abstract(opt_state, state.capacity, new_c),
-            cam_abs,
-            jax.ShapeDtypeStruct(jnp.shape(key), key.dtype),
-        )
-        warmer.maybe_start(capacity_warm_key(new_c), build, abstract)
+        key_abs = jax.ShapeDtypeStruct(jnp.shape(key), key.dtype)
+        state_abs = _grown_abstract(state, state.capacity, new_c)
+        opt_abs = _grown_abstract(opt_state, state.capacity, new_c)
+        jobs = {"step": (build, (state_abs, opt_abs, cam_abs, key_abs), {})}
+        # densify/reset run every densification_interval — their first call
+        # at the new capacity is otherwise an inline (tunnel) recompile.
+        # Both use_screen_size variants: the flag flips at
+        # opacity_reset_interval, which a warm started just before it would
+        # otherwise guess wrong.
+        if mesh is None:  # sharded densify re-shards inline; not AOT-warmed
+            for us in (False, True):
+                jobs[f"densify_{us}"] = (
+                    lambda: make_densify_step(opt, cfg_now)[0],
+                    (state_abs, opt_abs, key_abs),
+                    {"use_screen_size": us},
+                )
+            jobs["reset"] = (
+                lambda: make_densify_step(opt, cfg_now)[1],
+                (state_abs, opt_abs),
+                {},
+            )
+        warmer.maybe_start(capacity_warm_key(new_c), jobs)
 
     # Iterations at which post-step work happens (densify/reset/eval/save/
     # checkpoint); a chained dispatch may END on one but not cross one.
@@ -566,27 +617,39 @@ def training(
         else:
             budget_dropped = int(metrics["num_dropped_pairs"]) - mt_capped
         tile_capped = int(metrics.get("num_tile_capped", 0))
+        # tier-capped pairs are a subset of mt-capped ones whose loss is the
+        # small-tier slot width, not max_tiles_per_gauss — growing mt can't
+        # recover them; shrinking tier_frac (fewer gaussians forced into the
+        # small tier) does.
+        tier_capped = int(metrics.get("num_tier_capped_pairs", 0))
         grow_budget = budget_dropped > 0 and settings.max_pairs < (1 << 26)
-        grow_mt = mt_capped > 0 and settings.max_tiles_per_gauss < 128
+        grow_mt = (mt_capped - tier_capped) > 0 and settings.max_tiles_per_gauss < 128
+        back_off_tier = tier_capped > 0 and settings.tier_frac > 0
         # the XLA compositor's fixed scan depth truncated a live tile (the
         # Pallas kernel never caps; this fires on CPU/sharded runs only)
         grow_mspt = tile_capped > 0 and settings.max_splats_per_tile < (1 << 16)
-        if grow_budget or grow_mt or grow_mspt:
+        if grow_budget or grow_mt or grow_mspt or back_off_tier:
             new_budget = settings.max_pairs * (2 if grow_budget else 1)
             new_mt = settings.max_tiles_per_gauss * (2 if grow_mt else 1)
             new_mspt = settings.max_splats_per_tile * (2 if grow_mspt else 1)
+            new_tier = settings.tier_frac
+            if back_off_tier:
+                new_tier = settings.tier_frac / 2
+                if new_tier < 0.25:  # too small a tier saves no sort time
+                    new_tier = 0.0
             print(
                 f"[ITER {iteration}] pair overflow "
                 f"(budget dropped {budget_dropped}, tile-capped {mt_capped}, "
-                f"tile-truncated {tile_capped}): "
+                f"tier-capped {tier_capped}, tile-truncated {tile_capped}): "
                 f"max_pairs {settings.max_pairs} -> {new_budget}, "
                 f"tile cap {settings.max_tiles_per_gauss} -> {new_mt}, "
-                f"splats/tile {settings.max_splats_per_tile} -> {new_mspt}",
+                f"splats/tile {settings.max_splats_per_tile} -> {new_mspt}, "
+                f"tier_frac {settings.tier_frac} -> {new_tier}",
                 flush=True,
             )
             settings = dataclasses.replace(
                 settings, max_pairs=new_budget, max_tiles_per_gauss=new_mt,
-                max_splats_per_tile=new_mspt,
+                max_splats_per_tile=new_mspt, tier_frac=new_tier,
             )
             cfg = dataclasses.replace(cfg, settings=settings)
             step = None
@@ -648,10 +711,11 @@ def training(
                 n_act = int(state.num_active)
                 if int(dstats.num_dropped) > 0 or n_act > GROW_WATERMARK * state.capacity:
                     old_c, new_c = state.capacity, state.capacity * 2
-                    warmed = warmer.take(capacity_warm_key(new_c))
+                    warmed = warmer.take(capacity_warm_key(new_c)) or {}
+                    wstep = warmed.get("step")
                     print(
                         f"[ITER {iteration}] growing capacity {old_c} -> {new_c}"
-                        + (" (precompiled)" if warmed is not None else ""),
+                        + (f" (precompiled: {sorted(warmed)})" if warmed else ""),
                         flush=True,
                     )
                     state = grow_capacity(state, new_c)
@@ -662,17 +726,24 @@ def training(
                     step = build_step()
                     extra_bucket_steps.clear()
                     if chained is not None:
-                        if warmed is not None:
+                        if wstep is not None:
                             cfg_now = cfg
                             chained = _with_fallback(
-                                warmed,
+                                wstep,
                                 lambda: build_chained(cfg_now),
                             )
                         else:
                             chained = build_chained(cfg)
-                    elif warmed is not None:
-                        step = _with_fallback(warmed, build_step)
+                    elif wstep is not None:
+                        step = _with_fallback(wstep, build_step)
                     densify_step, reset_step = make_densify_step(opt, cfg)
+                    if any(k.startswith("densify_") for k in warmed):
+                        densify_step = _warmed_densify(warmed, densify_step)
+                    if "reset" in warmed:
+                        inline_reset = reset_step
+                        reset_step = _with_fallback(
+                            warmed["reset"], lambda: inline_reset
+                        )
 
             if iteration % opt.opacity_reset_interval == 0 or (
                 model.white_background and iteration == opt.densify_from_iter

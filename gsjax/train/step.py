@@ -217,6 +217,7 @@ def _train_step_body(
         "l1": ll1,
         "num_dropped_pairs": out["num_dropped"],
         "num_mt_capped_pairs": out["num_mt_capped"],
+        "num_tier_capped_pairs": out["num_tier_capped"],
         "num_tile_capped": out["num_tile_capped"],
         "num_active": new_state.num_active,
     }
@@ -287,6 +288,7 @@ def make_train_step_chained(
         metrics["loss_mean"] = jnp.mean(ms["loss"])
         metrics["num_dropped_pairs"] = jnp.max(ms["num_dropped_pairs"])
         metrics["num_mt_capped_pairs"] = jnp.max(ms["num_mt_capped_pairs"])
+        metrics["num_tier_capped_pairs"] = jnp.max(ms["num_tier_capped_pairs"])
         metrics["num_tile_capped"] = jnp.max(ms["num_tile_capped"])
         # budget drops must be differenced per inner step, then reduced:
         # max(dropped) - max(capped) across different steps can read 0 even

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Trained-scene rendering throughput — the honest analogue of the
+reference's headline claim ("≥30 fps at 1080p on a modern GPU" for
+*rendering trained scenes*, reference README.md:14).
+
+Loads a trained model directory (the same layout render.py consumes),
+jits the pure-render path (custom-VJP primal = the inference Pallas
+kernel) over the scene's test cameras, and reports frames/s — at the
+scene's native resolution and, optionally, rescaled to 1080p.
+
+Usage:
+    python scripts/render_bench.py -m output/synth_garden \
+        [--iteration 30000] [--tier_frac 0.0] [--at_1080p] [--views 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model_path", required=True)
+    ap.add_argument("--iteration", type=int, default=-1)
+    ap.add_argument("--tier_frac", type=float, default=0.0)
+    ap.add_argument("--views", type=int, default=8,
+                    help="number of test views to cycle through")
+    ap.add_argument("--at_1080p", action="store_true",
+                    help="rescale camera intrinsics to 1920x1080")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from gsjax.configs import ModelParams
+    from gsjax.data.cameras import stack_render_cameras
+    from gsjax.train.loop import default_rasterize_settings
+    from gsjax.train.scene import Scene
+    from gsjax.train.step import TrainConfig, make_render_fn
+    from gsjax.utils.profiling import measure_rtt, timed
+
+    model = ModelParams(
+        source_path="", model_path=args.model_path, eval=True
+    )
+    # cfg_args in the model dir restores the real source_path
+    from gsjax.configs import load_cfg_args
+
+    saved = load_cfg_args(args.model_path)
+    if saved is not None:
+        model = dataclasses.replace(
+            model,
+            source_path=saved.get("source_path", model.source_path),
+            white_background=saved.get(
+                "white_background", model.white_background
+            ),
+            sh_degree=saved.get("sh_degree", model.sh_degree),
+        )
+    scene = Scene(model, load_iteration=args.iteration, shuffle=False)
+    state = scene.gaussians
+    cams = scene.get_test_cameras() or scene.get_train_cameras()
+    cams = cams[: args.views]
+
+    w, h = cams[0].width, cams[0].height
+    if args.at_1080p:
+        scale = min(1920 / w, 1080 / h)
+        for i, c in enumerate(cams):
+            cams[i] = dataclasses.replace(c, width=1920, height=1080,
+                                          fov_x=c.fov_x, fov_y=c.fov_y)
+        w, h = 1920, 1080
+
+    settings = default_rasterize_settings(w, h, state.capacity)
+    settings = dataclasses.replace(
+        settings, backend="pallas", tier_frac=args.tier_frac
+    )
+    render_fn = make_render_fn(TrainConfig(settings=settings))
+    bg = jnp.full(3, 1.0 if model.white_background else 0.0, jnp.float32)
+    rcams = stack_render_cameras(cams)
+
+    n_views = len(cams)
+
+    @jax.jit
+    def frame(view_i, eps):
+        from gsjax.data.cameras import index_render_camera
+
+        cam = index_render_camera(rcams, view_i)
+        p = dict(state.params)
+        p["xyz"] = p["xyz"] + eps
+        s = dataclasses.replace(state, params=p)
+        img = render_fn(s, cam, bg)
+        return jnp.sum(img[::64, ::64])
+
+    rtt = measure_rtt()
+    # warm every view's shape once (same shape -> one compile)
+    float(frame(jnp.int32(0), jnp.float32(0.0)))
+    samples = []
+    for rep in range(3):
+        t0 = time.time()
+        for i in range(n_views):
+            float(frame(jnp.int32(i), jnp.float32((rep * n_views + i + 1)
+                                                  * 1e-12)))
+        samples.append((time.time() - t0 - rtt * n_views) / n_views)
+    t_frame = max(min(samples), 1e-6)
+    n_act = int(np.asarray(state.num_active))
+    print(json.dumps({
+        "metric": "trained-scene render frames/s",
+        "value": round(1.0 / t_frame, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(1.0 / t_frame / 30.0, 4),
+        "extra": {
+            "resolution": f"{w}x{h}",
+            "n_gaussians": n_act,
+            "n_views": n_views,
+            "iteration": scene.loaded_iter,
+            "tier_frac": args.tier_frac,
+            "rtt_ms": round(rtt * 1000, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

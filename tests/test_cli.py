@@ -94,3 +94,17 @@ def test_scene_rejects_unknown_source(tmp_path):
     )
     with pytest.raises(Exception):
         Scene(model)
+
+
+def test_render_bench_script(trained_model, capsys):
+    """scripts/render_bench.py loads a saved model and prints the one-line
+    JSON fps record (CPU here; the number only means something on TPU)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import render_bench
+
+    render_bench.main(["-m", trained_model, "--views", "2"])
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["unit"] == "frames/s" and rec["value"] > 0
+    assert rec["extra"]["n_views"] == 2

@@ -609,3 +609,28 @@ def test_tiered_binning_tier_cap_counter():
     # inv_perm is a permutation
     inv = np.asarray(bins.gauss_inv_perm)
     assert sorted(inv.tolist()) == list(range(n))
+
+
+def test_infer_kernel_matches_exact_forward():
+    """Pure rendering (the custom-VJP primal) runs the n_contrib-free
+    inference kernel; blend and early-termination semantics are identical
+    to the training forward, so image AND final_T must match to float
+    reassociation. An opaque scene saturates T fast, exercising the
+    early-termination paths."""
+    cam, gs = scene()
+    means, scales, quats, ops, shs = gs
+    gs_hi = (means, scales, quats, jnp.minimum(ops * 4.0, 0.995), shs)
+    args = full_args(gs_hi)
+    s = RasterizeSettings(max_pairs=1 << 16, backend="pallas",
+                          pallas_chunk=128)
+
+    def f(offset):
+        out = render(
+            cam, *gs_hi, 3, BG, s, active_mask=args[5], means2d_offset=offset
+        )
+        return out["render"], out["final_T"]
+
+    img_i, T_i = f(args[6])  # inference kernel
+    (img_e, T_e), _ = jax.vjp(f, args[6])  # training kernel forward
+    np.testing.assert_allclose(np.asarray(img_i), np.asarray(img_e), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(T_i), np.asarray(T_e), atol=1e-7)

@@ -115,9 +115,11 @@ def test_capacity_warm_precompile_matches_inline():
     from gsjax.models import create_from_pcd
     from gsjax.models.gaussians import grow_capacity
     from gsjax.ops.rasterize import RasterizeSettings
-    from gsjax.train.loop import CapacityWarmer, _grown_abstract, grow_opt_state
+    from gsjax.train.loop import (
+        CapacityWarmer, _grown_abstract, _warmed_densify, grow_opt_state,
+    )
     from gsjax.train.optim import make_optimizer
-    from gsjax.train.step import TrainConfig, make_train_step
+    from gsjax.train.step import TrainConfig, make_densify_step, make_train_step
 
     rng = np.random.default_rng(0)
     n = 100
@@ -140,22 +142,37 @@ def test_capacity_warm_precompile_matches_inline():
 
     old_c, new_c = state.capacity, state.capacity * 2
     warmer = CapacityWarmer()
-    abstract = (
-        _grown_abstract(state, old_c, new_c),
-        _grown_abstract(opt_state, old_c, new_c),
-        jax.ShapeDtypeStruct((), jnp.int32),
-        jax.ShapeDtypeStruct(jnp.shape(key), key.dtype),
-    )
+    state_abs = _grown_abstract(state, old_c, new_c)
+    opt_abs = _grown_abstract(opt_state, old_c, new_c)
+    key_abs = jax.ShapeDtypeStruct(jnp.shape(key), key.dtype)
     build = lambda: make_train_step(tx, cams, images, cfg)  # noqa: E731
+    opt_params = OptimizationParams()
+    jobs = {
+        "step": (
+            build,
+            (state_abs, opt_abs, jax.ShapeDtypeStruct((), jnp.int32), key_abs),
+            {},
+        ),
+        "densify_True": (
+            lambda: make_densify_step(opt_params, cfg)[0],
+            (state_abs, opt_abs, key_abs),
+            {"use_screen_size": True},
+        ),
+        "reset": (
+            lambda: make_densify_step(opt_params, cfg)[1],
+            (state_abs, opt_abs),
+            {},
+        ),
+    }
     wk = (new_c, "settings", 1)
-    warmer.maybe_start(wk, build, abstract)
-    warmer._future.result(timeout=300)  # wait for the background compile
-    compiled = warmer.take(wk)
-    assert compiled is not None
+    warmer.maybe_start(wk, jobs)
+    warmer._future.result(timeout=600)  # wait for the background compile
+    warmed = warmer.take(wk)
+    assert warmed is not None and set(warmed) == set(jobs)
 
     g_state = grow_capacity(state, new_c)
     g_opt = grow_opt_state(opt_state, old_c, new_c)
-    s1, o1, m1 = compiled(g_state, g_opt, jnp.int32(0), key)
+    s1, o1, m1 = warmed["step"](g_state, g_opt, jnp.int32(0), key)
     s2, o2, m2 = build()(g_state, g_opt, jnp.int32(0), key)
     np.testing.assert_allclose(
         np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-6
@@ -164,6 +181,26 @@ def test_capacity_warm_precompile_matches_inline():
         np.asarray(s1.params["xyz"]), np.asarray(s2.params["xyz"]), atol=1e-6
     )
     assert int(s1.num_active) == int(s2.num_active)
+
+    # warmed densify/reset executables match the inline jit versions
+    inline_densify, inline_reset = make_densify_step(opt_params, cfg)
+    d_dispatch = _warmed_densify(warmed, inline_densify)
+    sd1, od1, st1 = d_dispatch(g_state, g_opt, key, use_screen_size=True)
+    sd2, od2, st2 = inline_densify(g_state, g_opt, key, use_screen_size=True)
+    assert int(sd1.num_active) == int(sd2.num_active)
+    np.testing.assert_allclose(
+        np.asarray(sd1.params["xyz"]), np.asarray(sd2.params["xyz"]), atol=1e-6
+    )
+    # missing variant falls back to inline
+    sd3, _, _ = d_dispatch(g_state, g_opt, key, use_screen_size=False)
+    sd4, _, _ = inline_densify(g_state, g_opt, key, use_screen_size=False)
+    assert int(sd3.num_active) == int(sd4.num_active)
+    sr1, _ = warmed["reset"](g_state, g_opt)
+    sr2, _ = inline_reset(g_state, g_opt)
+    np.testing.assert_allclose(
+        np.asarray(sr1.params["opacity"]),
+        np.asarray(sr2.params["opacity"]), atol=1e-6,
+    )
 
 
 def test_nonfinite_loss_aborts_with_debug_dump(blender_scene, tmp_path):
@@ -367,3 +404,54 @@ def test_training_mixed_resolution_scene(tmp_path):
     # both resolutions rendered and the fit moved off init
     assert report["train"]["n_views"] == 4
     assert report["train"]["psnr"] > 15.0, report
+
+
+def test_tier_capping_backs_off(blender_scene, tmp_path, capsys):
+    """Tiered binning under-provisions the small tier on purpose; when a
+    frame actually loses pairs to the small-tier slot width the trainer
+    must surface it (num_tier_capped_pairs) and shrink tier_frac rather
+    than grow max_tiles_per_gauss (which cannot recover those pairs)."""
+    from gsjax.ops.rasterize import RasterizeSettings
+    from gsjax.train.loop import training
+
+    src, _ = blender_scene
+    model = ModelParams(
+        source_path=src, model_path=str(tmp_path / "out"), eval=True
+    )
+    opt = OptimizationParams(
+        iterations=40,
+        densify_from_iter=1_000,  # no densification in this short run
+        position_lr_max_steps=40,
+    )
+    # tier_frac=0.875 forces 7/8 of the (large-footprint SfM-init)
+    # gaussians into the small tier of mt/4 slots — guaranteed tier caps.
+    scene, state = training(
+        model,
+        opt,
+        PipelineParams(),
+        testing_iterations=(),
+        saving_iterations=(),
+        checkpoint_iterations=(),
+        quiet=True,
+        settings=RasterizeSettings(
+            max_pairs=1 << 16, max_splats_per_tile=512,
+            max_tiles_per_gauss=16, tier_frac=0.875,
+        ),
+        capacity=256,
+        seed=0,
+    )
+    out = capsys.readouterr().out
+    assert "tier_frac 0.875 ->" in out, out
+    # the run recovered (backed off instead of looping) and still fit
+    import jax.numpy as jnp
+
+    from gsjax.train.loop import evaluate_state
+    from gsjax.train.step import TrainConfig, make_render_fn
+
+    cfg = TrainConfig(
+        settings=RasterizeSettings(max_pairs=1 << 16, max_splats_per_tile=512)
+    )
+    report = evaluate_state(
+        state, scene, make_render_fn(cfg), jnp.zeros(3), num_train_views=3
+    )
+    assert np.isfinite(report["train"]["psnr"]), report
