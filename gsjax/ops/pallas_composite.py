@@ -54,6 +54,36 @@ PIX = TILE * TILE  # 256
 CHUNK = 128  # pairs per DMA chunk; also the tile-range alignment
 
 
+def _eye8():
+    r = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+    return (r == c).astype(jnp.float32)
+
+
+def _transpose_px8(x8):
+    """(PIX, 8) -> (8, PIX) as one tiny MXU matmul.
+
+    The kernels' per-pixel state lives in (PIX, 1) column vectors, but the
+    arrays crossing the pallas_call boundary must be sublane-major
+    (T, 8, PIX): a (T, PIX, 8) boundary array gets the default (8, 128)
+    tiled layout, lane-padding the minor dim 8 -> 128 — 16x the HBM bytes
+    (measured 1.07GB physical for 67MB logical at 1080p, ~20ms/direction).
+    An explicit relayout/transpose on the VPU is slow in Mosaic; the MXU
+    does it for free as eye8 @ x8^T."""
+    return jax.lax.dot_general(
+        _eye8(), x8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _transpose_8px(x8t):
+    """(8, PIX) -> (PIX, 8) via the MXU (see :func:`_transpose_px8`)."""
+    return jax.lax.dot_general(
+        x8t, _eye8(), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _interpret_default():
     return jax.default_backend() != "tpu"
 
@@ -97,7 +127,7 @@ def _composite_kernel(
     # inputs
     pair_attrs_hbm,  # (n_chunks, 16, chunk) HBM, chunk-major
     # outputs
-    out_ref,  # (1, PIX, 8): r, g, b, T, n_contrib (f32), pad x3
+    out_ref,  # (1, 8, PIX): rows r, g, b, T, n_contrib (f32), pad x3
     # scratch
     buf,  # (2, ATTR_W, CHUNK) f32 VMEM
     sems,  # (2,) DMA semaphores
@@ -228,11 +258,11 @@ def _composite_kernel(
         dma(ci % 2, ci).wait()
 
     zero = jnp.zeros((PIX, 1), jnp.float32)
-    out_ref[0] = jnp.concatenate(
+    out_ref[0] = _transpose_px8(jnp.concatenate(
         [acc_r, acc_g, acc_b, jnp.exp(logT), ncon.astype(jnp.float32),
          zero, zero, zero],
         axis=1,
-    )
+    ))
 
 
 def _composite_infer_kernel(
@@ -241,7 +271,7 @@ def _composite_infer_kernel(
     # inputs
     pair_attrs_hbm,  # (n_chunks, 16, chunk) HBM, chunk-major
     # outputs
-    out_ref,  # (1, PIX, 8): r, g, b, T, pad x4
+    out_ref,  # (1, 8, PIX): rows r, g, b, T, pad x4
     # scratch
     buf,  # (2, ATTR_W, CHUNK) f32 VMEM
     sems,  # (2,) DMA semaphores
@@ -352,10 +382,10 @@ def _composite_infer_kernel(
         dma(ci % 2, ci).wait()
 
     zero = jnp.zeros((PIX, 1), jnp.float32)
-    out_ref[0] = jnp.concatenate(
+    out_ref[0] = _transpose_px8(jnp.concatenate(
         [acc_r, acc_g, acc_b, jnp.exp(logT), zero, zero, zero, zero],
         axis=1,
-    )
+    ))
 
 
 def composite_tiles_pallas(
@@ -378,7 +408,7 @@ def composite_tiles_pallas(
         grid=(num_t,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(
-            (1, PIX, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_W, chunk), jnp.float32),
@@ -386,15 +416,18 @@ def composite_tiles_pallas(
         ],
     )
     kern = _composite_infer_kernel if infer else _composite_kernel
+    # boundary array is sublane-major (T, 8, PIX) — lane-aligned, no
+    # 8 -> 128 padding tax (see _transpose_px8); XLA fuses the transpose
+    # back into the consumers (assemble_image transposes anyway)
     out = pl.pallas_call(
         functools.partial(kern, chunk=chunk, tiles_x=tiles_x),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_t, PIX, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_t, 8, PIX), jnp.float32),
         interpret=interpret,
     )(tile_start, pair_attrs)
-    tile_colors = out[:, :, :3]  # (T, PIX, 3)
-    tile_T = out[:, :, 3]
-    ncontrib = out[:, :, 4].astype(jnp.int32)
+    tile_colors = out[:, :3, :].transpose(0, 2, 1)  # (T, PIX, 3)
+    tile_T = out[:, 3, :]
+    ncontrib = out[:, 4, :].astype(jnp.int32)
     return tile_colors, tile_T, ncontrib
 
 
@@ -404,7 +437,7 @@ def _composite_bwd_kernel(
     padded_start_ref,
     # inputs
     pair_attrs_hbm,  # (n_chunks, 16, chunk) HBM — residual from forward
-    io_ref,  # (1, PIX, 8) VMEM: vr vg vb u T_N ncon 0 0
+    io_ref,  # (1, 8, PIX) VMEM rows: vr vg vb u T_N ncon 0 0
     _zeros_in,  # (P_pad // chunk, 16, chunk) HBM — aliased to grads_hbm
     # outputs
     grads_hbm,  # (P_pad // chunk, 16, chunk) HBM — per-pair grad blocks
@@ -430,7 +463,7 @@ def _composite_bwd_kernel(
     px = (tx * TILE + p_idx % TILE).astype(jnp.float32)
     py = (ty * TILE + p_idx // TILE).astype(jnp.float32)
 
-    io = io_ref[0]  # (PIX, 8)
+    io = _transpose_8px(io_ref[0])  # (8, PIX) boundary layout -> (PIX, 8)
     io_lane = jax.lax.broadcasted_iota(jnp.int32, (PIX, 8), 1)
 
     def col(i):
@@ -636,23 +669,24 @@ def composite_pallas_grads(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(wsize).astype(jnp.int32)]
     )
 
+    # sublane-major boundary layout (T, 8, PIX) — see _transpose_px8
     io8 = jnp.concatenate(
         [
-            d_tile_colors.astype(jnp.float32),
-            d_tile_T[..., None].astype(jnp.float32),
-            final_T[..., None],
-            ncontrib[..., None].astype(jnp.float32),
-            jnp.zeros((num_t, PIX, 2), jnp.float32),
+            d_tile_colors.astype(jnp.float32).transpose(0, 2, 1),
+            d_tile_T[:, None, :].astype(jnp.float32),
+            final_T[:, None, :],
+            ncontrib[:, None, :].astype(jnp.float32),
+            jnp.zeros((num_t, 2, PIX), jnp.float32),
         ],
-        axis=2,
-    )  # (T, PIX, 8)
+        axis=1,
+    )  # (T, 8, PIX)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_t,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, PIX, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
