@@ -574,16 +574,29 @@ def _composite_bwd_kernel(
         if emit_slot_keys:
             # forward the pair's slot id (riding in attr row 9) for the
             # sort-payload reduction; out-of-range lanes belong to a
-            # neighboring tile's window and get the +inf-slot sentinel
+            # neighboring tile's window and get the max-slot sentinel
             in_range = (gidx >= start) & (gidx < end)
             slot_bits = jax.lax.bitcast_convert_type(
                 buf[slot, 9:10, :], jnp.int32
             )
-            key_row = jax.lax.bitcast_convert_type(
-                jnp.where(in_range, slot_bits, jnp.int32(2**31 - 1)),
-                jnp.float32,
-            )
-            tail = [key_row] + [zero_row] * (ATTR_W - 10)
+            if obuf.dtype == jnp.float32:
+                key_row = jax.lax.bitcast_convert_type(
+                    jnp.where(in_range, slot_bits, jnp.int32(2**31 - 1)),
+                    jnp.float32,
+                )
+                tail = [key_row] + [zero_row] * (ATTR_W - 10)
+            else:
+                # bf16 output can't carry 32 raw key bits in one row: split
+                # the slot id into four base-256 digits (integers <= 255 are
+                # exact in bf16) riding rows 9..12; sentinel -1 reads as
+                # all-255 digits = u32 max after reassembly
+                s = jnp.where(in_range, slot_bits, jnp.int32(-1))
+                tail = [
+                    ((s >> 24) & 255).astype(jnp.float32),
+                    ((s >> 16) & 255).astype(jnp.float32),
+                    ((s >> 8) & 255).astype(jnp.float32),
+                    (s & 255).astype(jnp.float32),
+                ] + [zero_row] * (ATTR_W - 13)
         else:
             tail = [zero_row] * (ATTR_W - 9)
         obuf[slot] = jnp.concatenate(
@@ -697,15 +710,19 @@ def composite_pallas_grads(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    emit_keys = grad_reduce == "sort" and jnp.dtype(grad_dtype) == jnp.float32
+    emit_keys = grad_reduce == "sort"
+    bf16_keys = emit_keys and jnp.dtype(grad_dtype) == jnp.bfloat16
     zeros_out = jnp.zeros((p_pad // chunk, ATTR_W, chunk), grad_dtype)
-    if emit_keys:
+    if emit_keys and not bf16_keys:
         # unwritten chunks (beyond the last tile window) must read as the
         # +inf-slot sentinel in the key row
         sentinel = jax.lax.bitcast_convert_type(
             jnp.int32(2**31 - 1), jnp.float32
         )
         zeros_out = zeros_out.at[:, 9, :].set(sentinel)
+    elif bf16_keys:
+        # sentinel = all-255 base-256 digits -> u32 max after reassembly
+        zeros_out = zeros_out.at[:, 9:13, :].set(jnp.bfloat16(255.0))
     grads_padded = pl.pallas_call(
         functools.partial(
             _composite_bwd_kernel, chunk=chunk, tiles_x=tiles_x,
@@ -725,7 +742,53 @@ def composite_pallas_grads(
     num_valid = tile_start[num_t]
     n_gauss = gauss_count.shape[0]
     big = jnp.int32(2**31 - 1)
-    if emit_keys:
+    if emit_keys and bf16_keys:
+        # packed-bf16 single-sort mode: the kernel emitted bf16 grads with
+        # the slot id as four exact base-256 bf16 digits (rows 9..12).
+        # Reassemble a u32 key, bit-pack the 9 bf16 grad columns pairwise
+        # into 5 u32 words, and ONE 6-operand sort carries everything
+        # (variadic sort cost degrades past ~6 operands; the f32 path
+        # needs two sorts).
+        digs = [
+            grads_padded[:, 9 + i, :].reshape(p_pad).astype(jnp.uint32)
+            for i in range(4)
+        ]
+        key_pad = (
+            (digs[0] << 24) | (digs[1] << 16) | (digs[2] << 8) | digs[3]
+        )
+        cols16 = [
+            jax.lax.bitcast_convert_type(
+                grads_padded[:, c, :].reshape(p_pad), jnp.uint16
+            ).astype(jnp.uint32)
+            for c in range(grad_w)
+        ]
+        packed = tuple(
+            (cols16[2 * i] << 16) | cols16[2 * i + 1] for i in range(4)
+        ) + (cols16[8],)
+        out = jax.lax.sort((key_pad,) + packed, num_keys=1, is_stable=False)
+        key_sorted = out[0]
+        cols = []
+        for i in range(4):
+            cols.append((out[1 + i] >> 16).astype(jnp.uint16))
+            cols.append((out[1 + i] & 0xFFFF).astype(jnp.uint16))
+        cols.append(out[5].astype(jnp.uint16))
+        grads_slot = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(c, jnp.bfloat16).astype(
+                    jnp.float32
+                )
+                for c in cols
+            ],
+            axis=-1,
+        )
+        # sentinel keys (u32 max) sort last; reconstruct the i32 slot view
+        # the segment logic expects (valid slots < 2^31)
+        slot_sorted = jnp.where(
+            key_sorted == jnp.uint32(0xFFFFFFFF),
+            big,
+            key_sorted.astype(jnp.int32),
+        )
+    elif emit_keys:
         # sort-payload mode: the kernel emitted each pair's slot id in row
         # 9 (+inf sentinel for holes), so the padded grid itself is sorted
         # by slot directly — the 9 grad columns ride as payload across two

@@ -310,6 +310,38 @@ def test_grad_reduce_sort_matches_gather():
         )
 
 
+def test_grad_reduce_sort_bf16_packed():
+    """grad_dtype='bfloat16' + grad_reduce='sort' takes the packed single-
+    sort path: slot keys ride as four exact base-256 bf16 digits and the 9
+    grad columns pack pairwise into u32 words for ONE 6-operand sort.
+    Per-pair grads are bf16-quantized (~0.4% relative), accumulation stays
+    f32 — compare against the f32 path with a correspondingly loose
+    tolerance."""
+    cam, gs = scene()
+    args = full_args(gs)
+    probe = jnp.asarray(np.random.default_rng(19).normal(size=(H, W, 3)))
+    grads = {}
+    for dt in ("float32", "bfloat16"):
+        fn = _probe_loss(
+            render,
+            settings=RasterizeSettings(
+                max_pairs=1 << 16, backend="pallas", pallas_chunk=128,
+                grad_reduce="sort", grad_dtype=dt,
+            ),
+        )
+        grads[dt] = fn(cam, *args, probe)
+    for name, a, b in zip(
+        ["means3d", "scales", "quats", "opacities", "shs", "offset"],
+        grads["float32"], grads["bfloat16"],
+    ):
+        assert np.isfinite(np.asarray(b)).all(), name
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-2,
+            err_msg=name,
+        )
+
+
 def test_pallas_gradients_with_inactive_slots():
     """Padding slots (active_mask False) must not poison gradients in the
     pallas backend (sort-payload reduction included) — the NaN-from-
