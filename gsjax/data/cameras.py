@@ -123,3 +123,39 @@ def index_render_camera(batch: RenderCamera, i) -> RenderCamera:
         width=batch.width,
         height=batch.height,
     )
+
+
+def lookat_camera(eye, target, up, fov_x, width, height,
+                  uid=0, name="lookat") -> Camera:
+    """Free camera from eye/target/up (world coordinates, any up axis).
+
+    Built in the OpenGL convention (y up, z back) then converted to the
+    COLMAP storage the rest of the stack uses — the same path as the
+    dataset fixtures, so a lookat camera placed at a training camera's
+    position reproduces its view. Used by the local web viewer."""
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    n = np.linalg.norm(fwd)
+    fwd = fwd / (n if n > 1e-12 else 1.0)
+    z = -fwd  # OpenGL camera looks along -z
+    up = np.asarray(up, np.float64)
+    x = np.cross(up, z)
+    n = np.linalg.norm(x)
+    if n < 1e-9:  # up parallel to view axis: pick any perpendicular
+        alt = np.array([1.0, 0.0, 0.0])
+        if abs(z[0]) > 0.9:
+            alt = np.array([0.0, 1.0, 0.0])
+        x = np.cross(alt, z)
+        n = np.linalg.norm(x)
+    x /= n
+    y = np.cross(z, x)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, eye
+    c2w[:3, 1:3] *= -1  # OpenGL -> COLMAP axis flip
+    w2c = np.linalg.inv(c2w)
+    fov_y = 2 * np.arctan(np.tan(fov_x / 2) * height / width)
+    return Camera(
+        uid=uid, image_name=name, R=w2c[:3, :3].T, T=w2c[:3, 3],
+        fov_x=float(fov_x), fov_y=float(fov_y),
+        width=int(width), height=int(height),
+    )

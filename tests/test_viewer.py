@@ -211,3 +211,93 @@ def test_make_render_fn_toggles_and_modifier():
     scaled_cov = np.asarray(fn(state, cam, bg, 0.3, cov3d_python=True))
     np.testing.assert_allclose(scaled_cov, scaled, atol=1e-5)
     assert np.abs(scaled - base).max() > 0.02
+
+
+def test_lookat_matches_fixture_ring_camera():
+    """gsjax.data.cameras.lookat_camera reproduces the dataset fixtures'
+    orbit cameras exactly (same OpenGL->COLMAP path), so viewer poses
+    land on training poses."""
+    import sys
+
+    from fixtures import camera_from_c2w, ring_c2w_opengl
+    from gsjax.data.cameras import lookat_camera
+
+    c2w = ring_c2w_opengl(7.0, 1.1, 0.4)
+    ref = camera_from_c2w(c2w, 1.1, 96, 64, 0, "ref")
+    eye = c2w[:3, 3]
+    got = lookat_camera(eye, (0, 0, 0), (0, 0, 1), 1.1, 96, 64)
+    np.testing.assert_allclose(got.world_view, ref.world_view, atol=1e-6)
+    np.testing.assert_allclose(got.full_proj, ref.full_proj, atol=1e-5)
+
+
+def test_local_viewer_serves_pages_and_frames():
+    """The local web viewer (SIBR_gaussianViewer analogue, SURVEY.md §2.2
+    N3): /, /info, /render round-trip over real HTTP; the JPEG frame
+    matches a direct render of the same lookat camera; disallowed
+    resolutions are rejected (each size is a compile)."""
+    import io
+    import urllib.request
+
+    from PIL import Image
+
+    from gsjax.models.gaussians import create_from_pcd
+    from gsjax.data.cameras import lookat_camera
+    from gsjax.viewer.local_viewer import LocalViewer
+
+    rng = np.random.default_rng(5)
+    n = 120
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 1.0, size=(n, 3)).astype(np.float32)
+    state = create_from_pcd(pts, cols, spatial_lr_scale=1.0, capacity=128)
+
+    viewer = LocalViewer(
+        state, np.zeros(3, np.float32), port=0, extra_sizes=((64, 48),)
+    )
+    port = viewer.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        html = urllib.request.urlopen(f"{base}/", timeout=30).read()
+        assert b"gsjax" in html
+        info = json.loads(
+            urllib.request.urlopen(f"{base}/info", timeout=30).read()
+        )
+        assert info["n_gaussians"] == n
+        assert len(info["center"]) == 3 and info["extent"] > 0
+
+        eye = np.asarray(info["center"]) + np.array(
+            [0.0, -3.5 * info["extent"], 1.0]
+        )
+        c = info["center"]
+        q = (f"ex={eye[0]}&ey={eye[1]}&ez={eye[2]}"
+             f"&tx={c[0]}&ty={c[1]}&tz={c[2]}&w=64&h=48&scale=1.0")
+        jpg = urllib.request.urlopen(f"{base}/render?{q}", timeout=120).read()
+        img = np.asarray(Image.open(io.BytesIO(jpg)), np.float32) / 255.0
+        assert img.shape == (48, 64, 3)
+        assert img.max() > 0.05  # something rendered
+
+        cam = lookat_camera(eye, c, (0, 0, 1), 1.1, 64, 48)
+        direct = np.asarray(
+            viewer._fn_for(64, 48)(
+                state, cam.to_render_camera(),
+                jnp.zeros(3), np.float32(1.0),
+            )
+        )
+        assert np.abs(np.clip(direct, 0, 1) - img).mean() < 0.03  # JPEG loss
+
+        # scaling_modifier changes the frame
+        jpg2 = urllib.request.urlopen(
+            f"{base}/render?{q.replace('scale=1.0', 'scale=0.3')}",
+            timeout=120,
+        ).read()
+        assert jpg2 != jpg
+
+        # unknown resolution is rejected, not compiled
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(f"{base}/render?w=123&h=77", timeout=30)
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+    finally:
+        viewer.stop()
