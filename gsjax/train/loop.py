@@ -214,6 +214,67 @@ def default_rasterize_settings(
     )
 
 
+def _probe_initial_budgets(settings, state, train_cams, width, height):
+    """Measure the SfM-initialized scene's actual footprints on a few
+    cameras and size the per-gaussian tile cap (and pair budget) before the
+    first train-step compile.
+
+    The static-budget heuristics can start a doubling below what the scene
+    needs at iteration 1 (initial SfM gaussians are few and LARGE); each
+    adaptive doubling is a full recompile — minutes on CPU, tens of seconds
+    through the TPU remote-compile tunnel — so one cheap preprocess probe
+    per scene is far cheaper than 1-3 growth recompiles at startup."""
+    import jax
+
+    from gsjax.models.gaussians import activated
+    from gsjax.ops.projection import num_tiles, preprocess
+
+    tiles_x, tiles_y = num_tiles(width, height)
+
+    @jax.jit
+    def probe(state, camera):
+        means3d, scales, quats, opac, shs = activated(state)
+        sp = preprocess(
+            means3d, scales, quats, opac, shs, camera,
+            state.active_sh_degree, active_mask=state.active,
+        )
+        return jnp.max(sp.tiles_touched), jnp.sum(sp.tiles_touched)
+
+    probe_cams = train_cams[:: max(1, len(train_cams) // 4)][:4]
+    mt_need, pairs_need = 0, 0
+    for c in probe_cams:
+        rc = c.to_render_camera()
+        if (rc.width, rc.height) != (width, height):
+            continue
+        m, p = probe(state, rc)
+        mt_need = max(mt_need, int(m))
+        pairs_need = max(pairs_need, int(p))
+    if mt_need == 0:
+        return settings
+    mt = int(
+        min(
+            2 ** int(np.ceil(np.log2(max(mt_need, 1)))),
+            2 ** int(np.ceil(np.log2(tiles_x * tiles_y))),
+        )
+    )
+    # densification adds (small) gaussians, so never shrink the pair budget
+    # below the heuristic; grow it if the probe already exceeds it
+    max_pairs = settings.max_pairs
+    while max_pairs < pairs_need * 2 and max_pairs < 1 << 24:
+        max_pairs *= 2
+    if mt > settings.max_tiles_per_gauss or max_pairs > settings.max_pairs:
+        print(
+            f"budget probe: max tiles/gauss {mt_need} (cap "
+            f"{settings.max_tiles_per_gauss} -> {mt}), pairs {pairs_need} "
+            f"(budget {settings.max_pairs} -> {max_pairs})"
+        )
+    return dataclasses.replace(
+        settings,
+        max_tiles_per_gauss=max(mt, settings.max_tiles_per_gauss),
+        max_pairs=max_pairs,
+    )
+
+
 @dataclasses.dataclass
 class TrainerLogs:
     """jsonl always; TensorBoard when available (the reference guards the
@@ -329,6 +390,9 @@ def training(
 
     if settings is None:
         settings = default_rasterize_settings(width, height, state.capacity)
+        settings = _probe_initial_budgets(
+            settings, state, train_cams, width, height
+        )
     cfg = TrainConfig(
         settings=settings,
         lambda_dssim=opt.lambda_dssim,
