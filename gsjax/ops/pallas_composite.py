@@ -84,6 +84,27 @@ def _transpose_8px(x8t):
     )
 
 
+def _lane_sum(x):
+    """Sum over lanes: (PIX, chunk) -> (PIX, 1) as one MXU matvec.
+
+    A VPU lane reduction is ~log2(chunk) full-width shuffle-adds; the
+    kernels are VPU-bound while their MXU matmuls overlap for free
+    (measured round 1 — see the triangular-matmul note in
+    :func:`_composite_kernel`), so reductions ride the MXU."""
+    return jax.lax.dot_general(
+        x, jnp.ones((x.shape[1], 1), jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def _pix_sum(x):
+    """Sum over pixels (sublanes): (PIX, chunk) -> (1, chunk) on the MXU."""
+    return jax.lax.dot_general(
+        jnp.ones((1, x.shape[0]), jnp.float32), x,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
 def _interpret_default():
     return jax.default_backend() != "tpu"
 
@@ -166,8 +187,13 @@ def _composite_kernel(
     tri_incl = (lane_r <= lane_c).astype(jnp.float32)  # inclusive cumsum
     tri_excl = (lane_r < lane_c).astype(jnp.float32)  # exclusive cumsum
 
+    eye3 = (
+        jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+    ).astype(jnp.float32)
+
     def chunk_body(state):
-        ci, all_done, logT, done, acc_r, acc_g, acc_b, ncon = state
+        ci, all_done, logT, done, acc_rgb, ncon = state
 
         @pl.when(ci + 1 < num_chunks)
         def _():
@@ -181,9 +207,12 @@ def _composite_kernel(
         cb = buf[slot, 3:4, :]
         cc = buf[slot, 4:5, :]
         op = buf[slot, 5:6, :]
-        col_r = buf[slot, 6:7, :]
-        col_g = buf[slot, 7:8, :]
-        col_b = buf[slot, 8:9, :]
+        # colors as one (chunk, 3) MXU transpose: the three per-channel
+        # broadcasts + lane reductions become a single (PIX,chunk)@(chunk,3)
+        col3 = jax.lax.dot_general(
+            buf[slot, 6:9, :], eye3, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, 3)
 
         gidx = win + ci * chunk + lane  # (1, chunk) global pair index
         dx = px - mean_x  # (PIX, chunk)
@@ -216,9 +245,9 @@ def _composite_kernel(
         cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32)
         w = alpha_eff * jnp.exp(logT + cum_excl)  # (PIX, chunk)
 
-        acc_r = acc_r + jnp.sum(w * col_r, axis=1, keepdims=True)
-        acc_g = acc_g + jnp.sum(w * col_g, axis=1, keepdims=True)
-        acc_b = acc_b + jnp.sum(w * col_b, axis=1, keepdims=True)
+        acc_rgb = acc_rgb + jnp.dot(
+            w, col3, preferred_element_type=jnp.float32
+        )
 
         contrib = alpha_eff > 0.0
         ncon = jnp.maximum(
@@ -226,10 +255,10 @@ def _composite_kernel(
             jnp.max(jnp.where(contrib, gidx - start + 1, 0), axis=1, keepdims=True),
         )
 
-        logT = logT + jnp.sum(lg_eff, axis=1, keepdims=True)
+        logT = logT + _lane_sum(lg_eff)
         done = jnp.maximum(done, jnp.max(trip, axis=1, keepdims=True))
         all_done = (jnp.sum(done) >= PIX).astype(jnp.int32)
-        return ci + 1, all_done, logT, done, acc_r, acc_g, acc_b, ncon
+        return ci + 1, all_done, logT, done, acc_rgb, ncon
 
     def chunk_cond(state):
         ci, all_done, *_ = state
@@ -240,12 +269,10 @@ def _composite_kernel(
         jnp.int32(0),
         jnp.zeros((PIX, 1), jnp.float32),  # log T
         jnp.zeros((PIX, 1), jnp.float32),
-        jnp.zeros((PIX, 1), jnp.float32),
-        jnp.zeros((PIX, 1), jnp.float32),
-        jnp.zeros((PIX, 1), jnp.float32),
+        jnp.zeros((PIX, 3), jnp.float32),
         jnp.zeros((PIX, 1), jnp.int32),
     )
-    ci, _, logT, done, acc_r, acc_g, acc_b, ncon = jax.lax.while_loop(
+    ci, _, logT, done, acc_rgb, ncon = jax.lax.while_loop(
         chunk_cond, chunk_body, init
     )
 
@@ -259,7 +286,7 @@ def _composite_kernel(
 
     zero = jnp.zeros((PIX, 1), jnp.float32)
     out_ref[0] = _transpose_px8(jnp.concatenate(
-        [acc_r, acc_g, acc_b, jnp.exp(logT), ncon.astype(jnp.float32),
+        [acc_rgb, jnp.exp(logT), ncon.astype(jnp.float32),
          zero, zero, zero],
         axis=1,
     ))
@@ -316,8 +343,13 @@ def _composite_infer_kernel(
     tri_incl = (lane_r <= lane_c).astype(jnp.float32)
     tri_excl = (lane_r < lane_c).astype(jnp.float32)
 
+    eye3 = (
+        jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+    ).astype(jnp.float32)
+
     def chunk_body(state):
-        ci, all_done, logT, done, acc_r, acc_g, acc_b = state
+        ci, all_done, logT, done, acc_rgb = state
 
         @pl.when(ci + 1 < num_chunks)
         def _():
@@ -331,9 +363,10 @@ def _composite_infer_kernel(
         cb = buf[slot, 3:4, :]
         cc = buf[slot, 4:5, :]
         op = buf[slot, 5:6, :]
-        col_r = buf[slot, 6:7, :]
-        col_g = buf[slot, 7:8, :]
-        col_b = buf[slot, 8:9, :]
+        col3 = jax.lax.dot_general(
+            buf[slot, 6:9, :], eye3, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, 3)
 
         gidx = win + ci * chunk + lane
         dx = px - mean_x
@@ -358,22 +391,23 @@ def _composite_infer_kernel(
         cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32)
         w = alpha_eff * jnp.exp(logT + cum_excl)
 
-        acc_r = acc_r + jnp.sum(w * col_r, axis=1, keepdims=True)
-        acc_g = acc_g + jnp.sum(w * col_g, axis=1, keepdims=True)
-        acc_b = acc_b + jnp.sum(w * col_b, axis=1, keepdims=True)
+        acc_rgb = acc_rgb + jnp.dot(
+            w, col3, preferred_element_type=jnp.float32
+        )
 
-        logT = logT + jnp.sum(lg_eff, axis=1, keepdims=True)
+        logT = logT + _lane_sum(lg_eff)
         done = jnp.maximum(done, jnp.max(trip, axis=1, keepdims=True))
         all_done = (jnp.sum(done) >= PIX).astype(jnp.int32)
-        return ci + 1, all_done, logT, done, acc_r, acc_g, acc_b
+        return ci + 1, all_done, logT, done, acc_rgb
 
     def chunk_cond(state):
         ci, all_done, *_ = state
         return (ci < num_chunks) & (all_done == 0)
 
     zeros = jnp.zeros((PIX, 1), jnp.float32)
-    init = (jnp.int32(0), jnp.int32(0), zeros, zeros, zeros, zeros, zeros)
-    ci, _, logT, done, acc_r, acc_g, acc_b = jax.lax.while_loop(
+    init = (jnp.int32(0), jnp.int32(0), zeros, zeros,
+            jnp.zeros((PIX, 3), jnp.float32))
+    ci, _, logT, done, acc_rgb = jax.lax.while_loop(
         chunk_cond, chunk_body, init
     )
 
@@ -383,7 +417,7 @@ def _composite_infer_kernel(
 
     zero = jnp.zeros((PIX, 1), jnp.float32)
     out_ref[0] = _transpose_px8(jnp.concatenate(
-        [acc_r, acc_g, acc_b, jnp.exp(logT), zero, zero, zero, zero],
+        [acc_rgb, jnp.exp(logT), zero, zero, zero, zero],
         axis=1,
     ))
 
@@ -471,6 +505,7 @@ def _composite_bwd_kernel(
 
     vr, vg, vb, u, T_N, ncon_f = col(0), col(1), col(2), col(3), col(4), col(5)
     ncon = ncon_f.astype(jnp.int32)  # (PIX, 1) local index count
+    V = jnp.concatenate([vr, vg, vb], axis=1)  # (PIX, 3) pixel cotangents
 
     # chunks beyond the last contributing pair need no grad walk; their
     # padded grad slots stay zero via the zero-initialized (aliased)
@@ -521,9 +556,7 @@ def _composite_bwd_kernel(
         cb = buf[slot, 3:4, :]
         cc = buf[slot, 4:5, :]
         op = buf[slot, 5:6, :]
-        col_r = buf[slot, 6:7, :]
-        col_g = buf[slot, 7:8, :]
-        col_b = buf[slot, 8:9, :]
+        col3 = buf[slot, 6:9, :]  # (3, chunk) rgb rows
 
         gidx = win + ci * chunk + lane
         dx = px - mean_x
@@ -548,22 +581,42 @@ def _composite_bwd_kernel(
         T_i = jnp.exp(logTrec - Rlog)
         w = T_i * a
 
-        cdotv = col_r * vr + col_g * vg + col_b * vb  # (PIX, chunk)
+        # cdotv[p,c] = sum_i col_i[c] * v_i[p]: one MXU matmul instead of
+        # three broadcast-muls + adds
+        cdotv = jax.lax.dot_general(
+            V, col3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (PIX, chunk)
         q = w * cdotv
         S_i = S + jnp.dot(q, rtri_excl, preferred_element_type=jnp.float32)
         dalpha = T_i * cdotv - (S_i + T_N * u) / one_m
         live = contrib & (raw <= ALPHA_MAX)  # clamp kills d(op, power)
         g_pow = jnp.where(live, alpha * dalpha, 0.0)
 
-        g_op = jnp.sum(jnp.where(live, jnp.exp(power) * dalpha, 0.0), axis=0, keepdims=True)
-        g_ca = jnp.sum(-0.5 * dx * dx * g_pow, axis=0, keepdims=True)
-        g_cb = jnp.sum(-dx * dy * g_pow, axis=0, keepdims=True)
-        g_cc = jnp.sum(-0.5 * dy * dy * g_pow, axis=0, keepdims=True)
-        g_mx = jnp.sum((ca * dx + cb * dy) * g_pow, axis=0, keepdims=True)
-        g_my = jnp.sum((cc * dy + cb * dx) * g_pow, axis=0, keepdims=True)
-        g_r = jnp.sum(w * vr, axis=0, keepdims=True)
-        g_g = jnp.sum(w * vg, axis=0, keepdims=True)
-        g_b = jnp.sum(w * vb, axis=0, keepdims=True)
+        # Per-pair grads: all pixel reductions ride the MXU (_pix_sum) and
+        # the per-pair coefficients (ca, cb, cc, 1/op) factor OUT of the
+        # pixel sums — 6 matvecs + 1 (3,PIX)@(PIX,chunk) matmul replace
+        # nine (PIX,chunk) mul+sublane-reduction chains:
+        #   g_op  = sum_p exp(pow)*dalpha = sum_p g_pow / op  (alpha = raw
+        #           = op*exp(pow) on live lanes; clamp excluded by live)
+        #   g_mx  = sum_p (ca*dx + cb*dy)*g_pow = ca*S1 + cb*S2
+        t1 = dx * g_pow
+        t2 = dy * g_pow
+        S1 = _pix_sum(t1)
+        S2 = _pix_sum(t2)
+        g_op = _pix_sum(g_pow) / jnp.maximum(op, 1e-12)
+        g_ca = -0.5 * _pix_sum(dx * t1)
+        g_cb = -_pix_sum(dy * t1)
+        g_cc = -0.5 * _pix_sum(dy * t2)
+        g_mx = ca * S1 + cb * S2
+        g_my = cc * S2 + cb * S1
+        g_rgb = jax.lax.dot_general(
+            V, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3, chunk): rows g_r, g_g, g_b
+        g_r = g_rgb[0:1, :]
+        g_g = g_rgb[1:2, :]
+        g_b = g_rgb[2:3, :]
 
         # previous write on this slot must land before reuse
         @pl.when(k >= 2)
@@ -606,8 +659,8 @@ def _composite_bwd_kernel(
         out_dma(slot, ci).start()
 
         # lane reductions keep (PIX, 1) carries lane-replicated
-        logTrec = logTrec - jnp.sum(lr, axis=1, keepdims=True)
-        S = S + jnp.sum(q, axis=1, keepdims=True)
+        logTrec = logTrec - _lane_sum(lr)
+        S = S + _lane_sum(q)
         return logTrec, S
 
     jax.lax.fori_loop(
