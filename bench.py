@@ -85,6 +85,9 @@ def main():
     ap = argparse.ArgumentParser()
     # A/B knob for the tiered binning sort (0 = dense grid, the default)
     ap.add_argument("--tier_frac", type=float, default=0.0)
+    # A/B knob for the packed-bf16 single-sort backward reduction
+    ap.add_argument("--grad_dtype", default="float32",
+                    choices=("float32", "bfloat16"))
     args = ap.parse_args()
 
     xcheck_diff = _backend_cross_check()
@@ -103,6 +106,7 @@ def main():
     bwd_settings = RasterizeSettings(
         max_pairs=1 << 22, max_splats_per_tile=1024, chunk=32,
         backend="pallas", tier_frac=args.tier_frac,
+        grad_dtype=args.grad_dtype,
     )
 
     # measure the host round-trip with a trivial computation
@@ -192,6 +196,7 @@ def main():
             "resolution": f"{width}x{height}",
             "rtt_ms": round(rtt * 1000, 1),
             "tier_frac": args.tier_frac,
+            "grad_dtype": args.grad_dtype,
             "device": str(jax.devices()[0]),
             "backend_xcheck_max_diff": round(xcheck_diff, 6),
             "roofline_frac": round(roofline_frac, 4),
