@@ -1,0 +1,19 @@
+#!/bin/bash
+# One-shot TPU measurement pass for the round-2 perf work, to run (nohup'd)
+# as soon as the worker recovers. Each stage appends to /tmp/r2_results.log;
+# never kill this mid-run (client kills can wedge the remote worker).
+cd /root/repo || exit 1
+LOG=/tmp/r2_results.log
+echo "=== r2 TPU session $(date -u) ===" >> $LOG
+
+run() {
+  echo "--- $* $(date -u +%H:%M:%S)" >> $LOG
+  timeout 1800 "$@" >> $LOG 2>&1
+  echo "--- exit $? $(date -u +%H:%M:%S)" >> $LOG
+}
+
+run python bench.py
+run python bench.py --tier_frac 0.875
+run python bench.py --tier_frac 0.875 --grad_dtype bfloat16
+run python scripts/_r2_probe.py 128
+echo "=== r2 TPU session done $(date -u) ===" >> $LOG
