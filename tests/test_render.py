@@ -368,13 +368,18 @@ def test_pallas_gradients_with_inactive_slots():
         )
 
 
-def test_sort_reduce_budget_overflow_grads_finite():
+import pytest
+
+
+@pytest.mark.parametrize("grad_dtype", ["float32", "bfloat16"])
+def test_sort_reduce_budget_overflow_grads_finite(grad_dtype):
     """grad_reduce='sort' under pair-budget overflow takes the scatter-min
-    boundary path; gradients must stay finite and num_dropped reported."""
+    boundary path; gradients must stay finite and num_dropped reported
+    (both the f32 two-sort and the packed-bf16 single-sort encodings)."""
     cam, gs = scene()
     settings = RasterizeSettings(
         max_pairs=1 << 9, max_splats_per_tile=512, backend="pallas",
-        pallas_chunk=128, grad_reduce="sort",
+        pallas_chunk=128, grad_reduce="sort", grad_dtype=grad_dtype,
     )
     out = render(cam, *gs, 3, BG, settings)
     assert int(out["num_dropped"]) > 0
