@@ -774,6 +774,7 @@ def training(
                 )
                 n_act = int(state.num_active)
                 if int(dstats.num_dropped) > 0 or n_act > GROW_WATERMARK * state.capacity:
+                    t_grow = time.time()
                     old_c, new_c = state.capacity, state.capacity * 2
                     warmed = warmer.take(capacity_warm_key(new_c)) or {}
                     wstep = warmed.get("step")
@@ -808,6 +809,12 @@ def training(
                         reset_step = _with_fallback(
                             warmed["reset"], lambda: inline_reset
                         )
+                    # soak evidence: the growth pause (state surgery +
+                    # executable swap; warmed growths skip the recompile)
+                    print(
+                        f"[ITER {iteration}] growth pause "
+                        f"{time.time() - t_grow:.2f}s", flush=True,
+                    )
 
             if iteration % opt.opacity_reset_interval == 0 or (
                 model.white_background and iteration == opt.densify_from_iter
