@@ -343,6 +343,7 @@ def training(
     settings: Optional[RasterizeSettings] = None,
     capacity: Optional[int] = None,
     gui_callback: Optional[Callable] = None,
+    passive_callback: Optional[Callable] = None,
     seed: int = 0,
     steps_per_dispatch: int = 25,
     data_shards: int = 1,
@@ -586,6 +587,10 @@ def training(
 
         if gui_callback is not None:
             gui_callback(iteration, state, render_fn)
+        if passive_callback is not None:
+            # passive observers (the local web viewer) see the freshest
+            # state but, unlike the SIBR bridge, don't force chain=1
+            passive_callback(iteration, state, render_fn)
 
         # --debug_from: from this iteration on, trap non-finite values at
         # their producing op (reference flips the rasterizer's debug dumps

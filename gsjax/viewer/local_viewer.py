@@ -127,27 +127,36 @@ class LocalViewer:
         self._lock = threading.Lock()
 
         def fn_for(w, h):
-            key = (w, h)
+            # keyed on capacity too: a viewer attached to a training run
+            # sees the state grow, and budgets scale with capacity
+            key = (w, h, int(self.state.capacity))
             if key not in self._fns:
-                settings = default_rasterize_settings(
-                    w, h, int(self.state.capacity)
-                )
+                settings = default_rasterize_settings(w, h, key[2])
                 self._fns[key] = make_render_fn(
                     TrainConfig(settings=settings)
                 )
             return self._fns[key]
 
         self._fn_for = fn_for
+        self._server = None
 
+    def scene_stats(self):
+        """Live scene statistics (recomputed per /info request, so a viewer
+        attached to a running training job sees growth)."""
+        state = self.state
         xyz = np.asarray(state.params["xyz"])
         act = np.asarray(state.active)
         pts = xyz[act] if act.any() else xyz
-        self.center = pts.mean(axis=0).tolist()
-        self.extent = float(
+        center = pts.mean(axis=0).tolist()
+        extent = float(
             np.percentile(np.linalg.norm(pts - np.mean(pts, 0), axis=1), 90)
         )
-        self.n_gaussians = int(act.sum())
-        self._server = None
+        return {
+            "n_gaussians": int(act.sum()),
+            "center": center,
+            "extent": extent,
+            "iteration": self.iteration,
+        }
 
     # -- rendering -------------------------------------------------------
     def render_jpeg(self, eye, target, w, h, scale=1.0, fov_x=1.1):
@@ -190,12 +199,8 @@ class LocalViewer:
                     if u.path == "/":
                         self._send(200, "text/html", _PAGE.encode())
                     elif u.path == "/info":
-                        self._send(200, "application/json", json.dumps({
-                            "n_gaussians": viewer.n_gaussians,
-                            "center": viewer.center,
-                            "extent": viewer.extent,
-                            "iteration": viewer.iteration,
-                        }).encode())
+                        self._send(200, "application/json",
+                                   json.dumps(viewer.scene_stats()).encode())
                     elif u.path == "/render":
                         q = {k: v[0] for k, v in parse_qs(u.query).items()}
                         w = int(q.get("w", 960))
@@ -240,7 +245,7 @@ class LocalViewer:
     def serve_forever(self):
         self.start()
         print(f"viewer: http://{self.host}:{self.port}/  "
-              f"({self.n_gaussians} gaussians)", flush=True)
+              f"({self.scene_stats()['n_gaussians']} gaussians)", flush=True)
         try:
             threading.Event().wait()
         except KeyboardInterrupt:

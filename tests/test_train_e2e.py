@@ -455,3 +455,65 @@ def test_tier_capping_backs_off(blender_scene, tmp_path, capsys):
         state, scene, make_render_fn(cfg), jnp.zeros(3), num_train_views=3
     )
     assert np.isfinite(report["train"]["psnr"]), report
+
+
+def test_web_viewer_attaches_to_training(blender_scene, tmp_path):
+    """A passive web viewer attached to a live training run serves /info
+    with the advancing iteration and renders a frame mid-training without
+    forcing chain=1 (unlike the SIBR bridge callback)."""
+    import json as _json
+    import urllib.request
+
+    from gsjax.ops.rasterize import RasterizeSettings
+    from gsjax.train.loop import training
+    from gsjax.viewer.local_viewer import LocalViewer
+
+    src, _ = blender_scene
+    model = ModelParams(
+        source_path=src, model_path=str(tmp_path / "out"), eval=False
+    )
+    opt = OptimizationParams(
+        iterations=40, densify_from_iter=10_000,
+        opacity_reset_interval=10_000, position_lr_max_steps=40,
+    )
+    holder = {}
+    seen = {}
+
+    def passive(iteration, state, render_fn):
+        v = holder.get("v")
+        if v is None:
+            v = LocalViewer(state, np.zeros(3, np.float32), port=0,
+                            extra_sizes=((32, 32),))
+            v.start()
+            holder["v"] = v
+        v.state = state
+        v.iteration = iteration
+        if iteration >= 30 and "info" not in seen:
+            base = f"http://127.0.0.1:{v.port}"
+            seen["info"] = _json.loads(
+                urllib.request.urlopen(f"{base}/info", timeout=60).read()
+            )
+            st = seen["info"]
+            q = (f"ex={st['center'][0]}&ey={st['center'][1] - 3}"
+                 f"&ez={st['center'][2]}&tx={st['center'][0]}"
+                 f"&ty={st['center'][1]}&tz={st['center'][2]}&w=32&h=32")
+            seen["jpg"] = urllib.request.urlopen(
+                f"{base}/render?{q}", timeout=300
+            ).read()
+
+    try:
+        training(
+            model, opt, PipelineParams(), testing_iterations=(),
+            saving_iterations=(), quiet=True,
+            settings=RasterizeSettings(max_pairs=1 << 14,
+                                       max_splats_per_tile=256),
+            capacity=128, seed=0, passive_callback=passive,
+            steps_per_dispatch=10,
+        )
+    finally:
+        if "v" in holder:
+            holder["v"].stop()
+
+    assert seen["info"]["iteration"] >= 30
+    assert seen["info"]["n_gaussians"] > 0
+    assert seen["jpg"][:2] == b"\xff\xd8"  # JPEG magic

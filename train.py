@@ -41,6 +41,9 @@ def main(argv=None):
     parser.add_argument("--capacity", type=int, default=None,
                         help="initial gaussian buffer capacity (grows 2x as needed)")
     parser.add_argument("--disable_viewer", action="store_true")
+    parser.add_argument("--web_viewer", type=int, default=None, metavar="PORT",
+                        help="serve a live local web viewer of the training "
+                             "run on this port (0 = ephemeral)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="write a jax.profiler device trace of the first "
@@ -107,6 +110,31 @@ def main(argv=None):
         except OSError as e:
             print(f"viewer bridge disabled: {e}")
 
+    passive_callback = None
+    if args.web_viewer is not None:
+        # live local web viewer of the training run (headless-friendly
+        # SIBR-remote analogue); lazily started once state exists
+        holder = {}
+
+        def passive_callback(iteration, state, render_fn):
+            v = holder.get("v")
+            if v is None:
+                import numpy as _np
+
+                from gsjax.viewer.local_viewer import LocalViewer
+
+                v = LocalViewer(
+                    state,
+                    _np.full(3, 1.0 if model.white_background else 0.0,
+                             _np.float32),
+                    port=args.web_viewer,
+                )
+                port = v.start()
+                print(f"web viewer: http://127.0.0.1:{port}/", flush=True)
+                holder["v"] = v
+            v.state = state
+            v.iteration = iteration
+
     from gsjax.train.loop import training
 
     import contextlib
@@ -129,6 +157,7 @@ def main(argv=None):
             quiet=args.quiet,
             capacity=args.capacity,
             gui_callback=gui_callback,
+            passive_callback=passive_callback,
             seed=args.seed,
             steps_per_dispatch=args.steps_per_dispatch,
             data_shards=args.data_shards,
