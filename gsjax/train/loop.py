@@ -580,6 +580,7 @@ def training(
     ema_loss = 0.0
     t_start = time.time()
     it_times = []
+    _last_progress = [time.time()]  # slow runs print at least every ~30s
 
     iteration = first_iter
     while iteration < opt.iterations:
@@ -729,9 +730,13 @@ def training(
             densify_step, reset_step = make_densify_step(opt, cfg)
             render_fn = make_render_fn(cfg)
 
-        if iteration % 100 == 0:
+        if iteration % 100 == 0 or (
+            not quiet and time.time() - _last_progress[0] > 30
+        ):
             n_act = int(metrics["num_active"])
-            rate = 100 / sum(it_times[-100:])
+            k = min(len(it_times), 100)
+            rate = k / max(sum(it_times[-k:]), 1e-9)
+            _last_progress[0] = time.time()
             if not quiet:
                 print(
                     f"[ITER {iteration}] loss {ema_loss:.5f} | gaussians {n_act} | "
