@@ -84,21 +84,18 @@ def _transpose_8px(x8t):
     )
 
 
-def _lane_sum(x):
-    """Sum over lanes: (PIX, chunk) -> (PIX, 1) as one MXU matvec.
+def _pix_sum(x):
+    """Sum over pixels (sublanes): (PIX, chunk) -> (1, chunk) on the MXU.
 
-    A VPU lane reduction is ~log2(chunk) full-width shuffle-adds; the
+    A VPU sublane reduction is a chain of full-width shuffle-adds; the
     kernels are VPU-bound while their MXU matmuls overlap for free
     (measured round 1 — see the triangular-matmul note in
-    :func:`_composite_kernel`), so reductions ride the MXU."""
-    return jax.lax.dot_general(
-        x, jnp.ones((x.shape[1], 1), jnp.float32),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-
-
-def _pix_sum(x):
-    """Sum over pixels (sublanes): (PIX, chunk) -> (1, chunk) on the MXU."""
+    :func:`_composite_kernel`), so non-carried reductions ride the MXU.
+    CAUTION: never feed an MXU result into a while_loop CARRY — carry
+    layouts must stay consistent across iterations (matmul-output layout
+    != the replicated layout of a reduction; 'failed to legalize
+    scf.yield'). Carried scalars keep VPU reductions; bulk accumulators
+    go through VMEM scratch refs instead of carries."""
     return jax.lax.dot_general(
         jnp.ones((1, x.shape[0]), jnp.float32), x,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -152,6 +149,8 @@ def _composite_kernel(
     # scratch
     buf,  # (2, ATTR_W, CHUNK) f32 VMEM
     sems,  # (2,) DMA semaphores
+    acc,  # (PIX, 3) f32 VMEM color accumulator (ref, not a loop carry:
+    #       the MXU blend's output layout can't ride a while carry)
     *,
     chunk,
     tiles_x,
@@ -192,8 +191,10 @@ def _composite_kernel(
         == jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
     ).astype(jnp.float32)
 
+    acc[...] = jnp.zeros((PIX, 3), jnp.float32)
+
     def chunk_body(state):
-        ci, all_done, logT, done, acc_rgb, ncon = state
+        ci, all_done, logT, done, ncon = state
 
         @pl.when(ci + 1 < num_chunks)
         def _():
@@ -245,7 +246,7 @@ def _composite_kernel(
         cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32)
         w = alpha_eff * jnp.exp(logT + cum_excl)  # (PIX, chunk)
 
-        acc_rgb = acc_rgb + jnp.dot(
+        acc[...] = acc[...] + jnp.dot(
             w, col3, preferred_element_type=jnp.float32
         )
 
@@ -255,10 +256,12 @@ def _composite_kernel(
             jnp.max(jnp.where(contrib, gidx - start + 1, 0), axis=1, keepdims=True),
         )
 
-        logT = logT + _lane_sum(lg_eff)
+        # carried scalars use VPU reductions (replicated layout — an MXU
+        # matvec output can't ride a while carry)
+        logT = logT + jnp.sum(lg_eff, axis=1, keepdims=True)
         done = jnp.maximum(done, jnp.max(trip, axis=1, keepdims=True))
         all_done = (jnp.sum(done) >= PIX).astype(jnp.int32)
-        return ci + 1, all_done, logT, done, acc_rgb, ncon
+        return ci + 1, all_done, logT, done, ncon
 
     def chunk_cond(state):
         ci, all_done, *_ = state
@@ -269,10 +272,9 @@ def _composite_kernel(
         jnp.int32(0),
         jnp.zeros((PIX, 1), jnp.float32),  # log T
         jnp.zeros((PIX, 1), jnp.float32),
-        jnp.zeros((PIX, 3), jnp.float32),
         jnp.zeros((PIX, 1), jnp.int32),
     )
-    ci, _, logT, done, acc_rgb, ncon = jax.lax.while_loop(
+    ci, _, logT, done, ncon = jax.lax.while_loop(
         chunk_cond, chunk_body, init
     )
 
@@ -286,7 +288,7 @@ def _composite_kernel(
 
     zero = jnp.zeros((PIX, 1), jnp.float32)
     out_ref[0] = _transpose_px8(jnp.concatenate(
-        [acc_rgb, jnp.exp(logT), ncon.astype(jnp.float32),
+        [acc[...], jnp.exp(logT), ncon.astype(jnp.float32),
          zero, zero, zero],
         axis=1,
     ))
@@ -302,6 +304,7 @@ def _composite_infer_kernel(
     # scratch
     buf,  # (2, ATTR_W, CHUNK) f32 VMEM
     sems,  # (2,) DMA semaphores
+    acc,  # (PIX, 3) f32 VMEM color accumulator (see _composite_kernel)
     *,
     chunk,
     tiles_x,
@@ -348,8 +351,10 @@ def _composite_infer_kernel(
         == jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
     ).astype(jnp.float32)
 
+    acc[...] = jnp.zeros((PIX, 3), jnp.float32)
+
     def chunk_body(state):
-        ci, all_done, logT, done, acc_rgb = state
+        ci, all_done, logT, done = state
 
         @pl.when(ci + 1 < num_chunks)
         def _():
@@ -391,23 +396,22 @@ def _composite_infer_kernel(
         cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32)
         w = alpha_eff * jnp.exp(logT + cum_excl)
 
-        acc_rgb = acc_rgb + jnp.dot(
+        acc[...] = acc[...] + jnp.dot(
             w, col3, preferred_element_type=jnp.float32
         )
 
-        logT = logT + _lane_sum(lg_eff)
+        logT = logT + jnp.sum(lg_eff, axis=1, keepdims=True)
         done = jnp.maximum(done, jnp.max(trip, axis=1, keepdims=True))
         all_done = (jnp.sum(done) >= PIX).astype(jnp.int32)
-        return ci + 1, all_done, logT, done, acc_rgb
+        return ci + 1, all_done, logT, done
 
     def chunk_cond(state):
         ci, all_done, *_ = state
         return (ci < num_chunks) & (all_done == 0)
 
     zeros = jnp.zeros((PIX, 1), jnp.float32)
-    init = (jnp.int32(0), jnp.int32(0), zeros, zeros,
-            jnp.zeros((PIX, 3), jnp.float32))
-    ci, _, logT, done, acc_rgb = jax.lax.while_loop(
+    init = (jnp.int32(0), jnp.int32(0), zeros, zeros)
+    ci, _, logT, done = jax.lax.while_loop(
         chunk_cond, chunk_body, init
     )
 
@@ -417,7 +421,7 @@ def _composite_infer_kernel(
 
     zero = jnp.zeros((PIX, 1), jnp.float32)
     out_ref[0] = _transpose_px8(jnp.concatenate(
-        [acc_rgb, jnp.exp(logT), zero, zero, zero, zero],
+        [acc[...], jnp.exp(logT), zero, zero, zero, zero],
         axis=1,
     ))
 
@@ -447,6 +451,7 @@ def composite_tiles_pallas(
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_W, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((PIX, 3), jnp.float32),  # color accumulator
         ],
     )
     kern = _composite_infer_kernel if infer else _composite_kernel
@@ -658,9 +663,10 @@ def _composite_bwd_kernel(
         ).astype(obuf.dtype)
         out_dma(slot, ci).start()
 
-        # lane reductions keep (PIX, 1) carries lane-replicated
-        logTrec = logTrec - _lane_sum(lr)
-        S = S + _lane_sum(q)
+        # lane reductions keep (PIX, 1) carries lane-replicated (VPU —
+        # MXU matvec outputs can't ride fori carries, see _pix_sum)
+        logTrec = logTrec - jnp.sum(lr, axis=1, keepdims=True)
+        S = S + jnp.sum(q, axis=1, keepdims=True)
         return logTrec, S
 
     jax.lax.fori_loop(
