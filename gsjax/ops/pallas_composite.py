@@ -84,6 +84,16 @@ def _transpose_8px(x8t):
     )
 
 
+def _rgb_rows(buf, slot):
+    """(3, chunk) color rows from the attr buffer, as three single-sublane
+    loads + concat: a 3-row slice at offset 6 crosses the (8,128) vreg
+    tile boundary, which Mosaic has not been proven to lower (round-1
+    kernels only ever sliced single sublanes at arbitrary offsets)."""
+    return jnp.concatenate(
+        [buf[slot, 6:7, :], buf[slot, 7:8, :], buf[slot, 8:9, :]], axis=0
+    )
+
+
 def _pix_sum(x):
     """Sum over pixels (sublanes): (PIX, chunk) -> (1, chunk) on the MXU.
 
@@ -211,7 +221,7 @@ def _composite_kernel(
         # colors as one (chunk, 3) MXU transpose: the three per-channel
         # broadcasts + lane reductions become a single (PIX,chunk)@(chunk,3)
         col3 = jax.lax.dot_general(
-            buf[slot, 6:9, :], eye3, (((0,), (0,)), ((), ())),
+            _rgb_rows(buf, slot), eye3, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (chunk, 3)
 
@@ -369,7 +379,7 @@ def _composite_infer_kernel(
         cc = buf[slot, 4:5, :]
         op = buf[slot, 5:6, :]
         col3 = jax.lax.dot_general(
-            buf[slot, 6:9, :], eye3, (((0,), (0,)), ((), ())),
+            _rgb_rows(buf, slot), eye3, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (chunk, 3)
 
@@ -561,7 +571,7 @@ def _composite_bwd_kernel(
         cb = buf[slot, 3:4, :]
         cc = buf[slot, 4:5, :]
         op = buf[slot, 5:6, :]
-        col3 = buf[slot, 6:9, :]  # (3, chunk) rgb rows
+        col3 = _rgb_rows(buf, slot)  # (3, chunk) rgb rows
 
         gidx = win + ci * chunk + lane
         dx = px - mean_x
