@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from gsjax.data.cameras import RenderCamera
@@ -127,6 +128,7 @@ def preprocess(
     colors_precomp: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
     means2d_offset: Optional[jnp.ndarray] = None,
+    opacity_aware_radius: bool = True,
 ) -> Splats:
     """Full preprocess. All inputs post-activation (exp scales, normalized
     quats, sigmoid opacities) — same contract as the CUDA rasterizer binding
@@ -165,26 +167,54 @@ def preprocess(
         valid = valid & active_mask
 
     tiles_x, tiles_y = num_tiles(camera.width, camera.height)
-    rect_min = jnp.stack(
-        [
-            jnp.clip(jnp.floor((means2d[:, 0] - radii_f) / TILE), 0, tiles_x),
-            jnp.clip(jnp.floor((means2d[:, 1] - radii_f) / TILE), 0, tiles_y),
-        ],
-        axis=1,
-    ).astype(jnp.int32)
-    rect_max = jnp.stack(
-        [
-            jnp.clip(jnp.floor((means2d[:, 0] + radii_f + TILE - 1) / TILE), 0, tiles_x),
-            jnp.clip(jnp.floor((means2d[:, 1] + radii_f + TILE - 1) / TILE), 0, tiles_y),
-        ],
-        axis=1,
-    ).astype(jnp.int32)
-    tiles_touched = (rect_max[:, 0] - rect_min[:, 0]) * (
-        rect_max[:, 1] - rect_min[:, 1]
-    )
-    valid = valid & (tiles_touched > 0)
-    tiles_touched = jnp.where(valid, tiles_touched, 0)
+
+    def rects_of(r):
+        rmin = jnp.stack(
+            [
+                jnp.clip(jnp.floor((means2d[:, 0] - r) / TILE), 0, tiles_x),
+                jnp.clip(jnp.floor((means2d[:, 1] - r) / TILE), 0, tiles_y),
+            ],
+            axis=1,
+        ).astype(jnp.int32)
+        rmax = jnp.stack(
+            [
+                jnp.clip(jnp.floor((means2d[:, 0] + r + TILE - 1) / TILE), 0, tiles_x),
+                jnp.clip(jnp.floor((means2d[:, 1] + r + TILE - 1) / TILE), 0, tiles_y),
+            ],
+            axis=1,
+        ).astype(jnp.int32)
+        touched = (rmax[:, 0] - rmin[:, 0]) * (rmax[:, 1] - rmin[:, 1])
+        return rmin, rmax, touched
+
+    # Reported radii / visibility keep the reference's plain 3-sigma rect
+    # semantics (visibility_filter, max_radii2D screen-size pruning).
+    _, _, tiles3 = rects_of(radii_f)
+    valid = valid & (tiles3 > 0)
     radii = jnp.where(valid, radii_f, 0.0).astype(jnp.int32)
+
+    # Binning uses an opacity-aware radius: the compositing kernels zero
+    # every pair with alpha < ALPHA_MIN (= 1/255, same as the reference
+    # CUDA render kernel), and alpha(d) <= op * exp(-|d|^2 / (2 lambda1)),
+    # so pixels beyond r_op = sqrt(2 ln(op/ALPHA_MIN) * lambda1) can never
+    # contribute to the image or to any gradient. Shrinking the touched-
+    # tile rectangle to min(3 sigma, r_op) is therefore bit-exact while
+    # cutting pair count (biggest on trained scenes, where opacities skew
+    # low after densification). Structural only: no gradient flows through
+    # the rectangle, so the whole radius is stop_gradient'ed.
+    if opacity_aware_radius:
+        chi = 2.0 * jnp.log(255.0 * jnp.maximum(opacities.reshape(-1), 1e-12))
+        # +1: the rect's max edge only covers pixels to mean + r - 1, so a
+        # radius of exactly ceil(r_op) can clip a 1-px ring that still
+        # clears the alpha threshold
+        r_bin = jnp.minimum(
+            radii_f, jnp.ceil(jnp.sqrt(jnp.maximum(chi, 0.0) * lambda1)) + 1.0
+        )
+        r_bin = jax.lax.stop_gradient(r_bin)
+        rect_min, rect_max, tiles_bin = rects_of(r_bin)
+        tiles_touched = jnp.where(valid & (chi > 0.0), tiles_bin, 0)
+    else:
+        rect_min, rect_max, tiles_bin = rects_of(radii_f)
+        tiles_touched = jnp.where(valid, tiles_bin, 0)
 
     if colors_precomp is None:
         dirs = safe_normalize(means3d - camera.camera_center[None, :])

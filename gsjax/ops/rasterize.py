@@ -71,6 +71,10 @@ class RasterizeSettings:
     # per-(source, dest) row budget for "a2a"; 0 = auto (4x the uniform
     # share, rounded up to 128)
     a2a_rows: int = 0
+    # bin tiles with the opacity-aware radius min(3 sigma, r_op), where
+    # r_op bounds the alpha >= 1/255 support — bit-exact pair-count
+    # reduction (gsjax/ops/projection.py). False = plain 3-sigma rects.
+    opacity_aware_radius: bool = True
 
     def __post_init__(self):
         if self.max_splats_per_tile % self.chunk:
@@ -120,6 +124,7 @@ def render(
         colors_precomp=colors_precomp,
         active_mask=active_mask,
         means2d_offset=means2d_offset,
+        opacity_aware_radius=settings.opacity_aware_radius,
     )
     bins = build_tile_bins(
         splats, tiles_x, tiles_y, settings.max_pairs,

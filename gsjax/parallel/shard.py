@@ -207,6 +207,7 @@ def _render_strip(
         sh_degree,
         active_mask=active_shard,
         means2d_offset=offset_shard,
+        opacity_aware_radius=settings.opacity_aware_radius,
     )
     g = lax.axis_index(axis)
     if settings.splat_exchange == "a2a":

@@ -237,6 +237,7 @@ def _probe_initial_budgets(settings, state, train_cams, width, height):
         sp = preprocess(
             means3d, scales, quats, opac, shs, camera,
             state.active_sh_degree, active_mask=state.active,
+            opacity_aware_radius=settings.opacity_aware_radius,
         )
         return jnp.max(sp.tiles_touched), jnp.sum(sp.tiles_touched)
 

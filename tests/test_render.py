@@ -151,6 +151,57 @@ def test_scale_modifier_shrinks_footprint():
     assert (r2 <= r1).all() and r2.sum() < r1.sum()
 
 
+def test_opacity_aware_binning_exact_and_smaller():
+    """min(3sigma, r_op) binning rects drop only pairs the compositor
+    zeroes (alpha < 1/255): strictly fewer pairs on a low-opacity scene,
+    same image/radii/gradients vs plain 3-sigma binning up to float
+    reassociation (~1 ulp: shorter pair lists change XLA's reduction
+    trees). The reference always bins at 3 sigma (forward.cu [upstream]);
+    our kernels share its alpha >= 1/255 skip, which is what makes the
+    shrink exact."""
+    cam, gs = scene()
+    means, scales, quats, _, shs = gs
+    # opacities spanning sub-1/255 .. 0.88 so the shrink actually bites
+    ops = jax.nn.sigmoid(jnp.linspace(-7.0, 2.0, N))
+    args = full_args((means, scales, quats, ops, shs))
+
+    off = dataclasses.replace(SETTINGS, opacity_aware_radius=False)
+
+    @jax.jit
+    def both(cam, means, scales, quats, ops, shs, mask, offset):
+        kw = dict(active_mask=mask, means2d_offset=offset)
+        a = render(cam, means, scales, quats, ops, shs, 3, BG, SETTINGS, **kw)
+        b = render(cam, means, scales, quats, ops, shs, 3, BG, off, **kw)
+        sp_on = preprocess(means, scales, quats, ops, shs, cam, 3,
+                           opacity_aware_radius=True)
+        sp_off = preprocess(means, scales, quats, ops, shs, cam, 3,
+                            opacity_aware_radius=False)
+        return a, b, sp_on.tiles_touched, sp_off.tiles_touched
+
+    a, b, t_on, t_off = both(cam, *args)
+    t_on, t_off = np.asarray(t_on), np.asarray(t_off)
+    assert (t_on <= t_off).all() and t_on.sum() < t_off.sum()
+    # fully sub-threshold gaussians bin to zero tiles
+    assert t_on[np.asarray(jax.nn.sigmoid(jnp.linspace(-7.0, 2.0, N))) < 1 / 255].max() == 0
+    np.testing.assert_allclose(
+        np.asarray(a["render"]), np.asarray(b["render"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["final_T"]), np.asarray(b["final_T"]), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(a["radii"]), np.asarray(b["radii"]))
+
+    probe = jax.random.normal(jax.random.PRNGKey(1), (H, W, 3))
+    g_on = _probe_loss(render, settings=SETTINGS)(cam, *args, probe)
+    g_off = _probe_loss(render, settings=off)(cam, *args, probe)
+    for name, x, y in zip(
+        ["means3d", "scales", "quats", "opacities", "shs", "means2d"], g_on, g_off
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-5, rtol=1e-4, err_msg=name
+        )
+
+
 def test_pair_budget_overflow_reported():
     cam, gs = scene()
     out = render(
