@@ -58,10 +58,11 @@ class RasterizeSettings:
     tier_frac: float = 0.0
     grad_dtype: str = "float32"  # "bfloat16" halves backward-reduction traffic
     # backward reduction strategy: "sort" carries the 9 grad columns as
-    # sort payload over two small-operand sorts (no row gather; the kernel
-    # emits slot keys in-band), "gather" permutes grad rows with one random
-    # row gather (~43M rows/s on TPU). "sort" needs grad_dtype float32 and
-    # falls back to "gather" otherwise. See docs/PERF.md.
+    # sort payload (no row gather; the kernel emits slot keys in-band) —
+    # two <=6-operand sorts at float32, ONE 6-operand sort at bfloat16
+    # (grad columns bit-packed pairwise into u32 words); "gather" permutes
+    # grad rows with one random row gather (~43M rows/s on TPU). See
+    # docs/PERF.md.
     grad_reduce: str = "sort"
     # sharded splat exchange (gsjax/parallel/shard.py): "all_gather"
     # replicates every chip's splats (O(N) per-chip memory); "a2a" routes

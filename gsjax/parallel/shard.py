@@ -407,7 +407,7 @@ def make_sharded_train_step(
     def step(state: GaussianState, opt_state, cam_idx, key):
         return jimpl(state, opt_state, cam_idx, key, cameras, images)
 
-    return step
+    return _attach_lower(step, jimpl, cameras, images)
 
 
 def make_sharded_train_step_chained(
@@ -459,6 +459,29 @@ def make_sharded_train_step_chained(
     def step(state, opt_state, cam_idxs, key):
         return jchained(state, opt_state, cam_idxs, key, cameras, images)
 
+    return _attach_lower(step, jchained, cameras, images)
+
+
+def _attach_lower(step, jfn, cameras, images):
+    """AOT support for the CapacityWarmer (gsjax/train/loop.py): the
+    wrapper hides the trailing cameras/images arguments, so expose a
+    4-arg ``.lower`` whose compiled executable re-appends them — without
+    it the background capacity warm cannot precompile sharded steps."""
+
+    class _Lowered:
+        def __init__(self, lowered):
+            self._lowered = lowered
+
+        def compile(self):
+            compiled = self._lowered.compile()
+            return lambda s, o, c, k: compiled(s, o, c, k, cameras, images)
+
+    def lower(state_abs, opt_abs, cam_abs, key_abs):
+        return _Lowered(
+            jfn.lower(state_abs, opt_abs, cam_abs, key_abs, cameras, images)
+        )
+
+    step.lower = lower
     return step
 
 
@@ -565,9 +588,12 @@ def _make_sharded_step_impl(tx, mesh: Mesh, cameras: RenderCamera, cfg):
         g_params = lax.pmean(g_params, "data")
         loss = lax.pmean(loss, "data")
         l1 = lax.pmean(l1, "data")
-        dropped = lax.psum(dropped, ("data",))
-        capped = lax.psum(capped, ("data",))
-        tier_capped = lax.psum(tier_capped, ("data",))
+        # every overflow counter is per-chip: each gauss chip bins its own
+        # tile strip, so reduce over BOTH axes or the trainer only sees
+        # gauss-chip 0's strip and never reacts to overflow elsewhere
+        dropped = lax.psum(dropped, ("data", "gauss"))
+        capped = lax.psum(capped, ("data", "gauss"))
+        tier_capped = lax.psum(tier_capped, ("data", "gauss"))
         tile_capped = lax.psum(tile_capped, ("data", "gauss"))
         exch_dropped = lax.psum(exch_dropped, ("data", "gauss"))
 

@@ -693,13 +693,23 @@ def training(
         # recover them; shrinking tier_frac (fewer gaussians forced into the
         # small tier) does.
         tier_capped = int(metrics.get("num_tier_capped_pairs", 0))
+        # chained runs pre-difference mt - tier per inner step (see
+        # make_train_step_chained): two maxima from different steps can
+        # cancel and mask a genuine mt overflow
+        mt_only = int(
+            metrics.get("num_mt_only_capped", mt_capped - tier_capped)
+        )
         grow_budget = budget_dropped > 0 and settings.max_pairs < (1 << 26)
-        grow_mt = (mt_capped - tier_capped) > 0 and settings.max_tiles_per_gauss < 128
+        grow_mt = mt_only > 0 and settings.max_tiles_per_gauss < 128
+        # a2a splat-exchange send-budget overflow: splats silently vanish
+        # from the owning strip otherwise — double the per-destination rows
+        exch_dropped = int(metrics.get("num_exchange_dropped", 0))
+        grow_a2a = exch_dropped > 0 and settings.splat_exchange == "a2a"
         back_off_tier = tier_capped > 0 and settings.tier_frac > 0
         # the XLA compositor's fixed scan depth truncated a live tile (the
         # Pallas kernel never caps; this fires on CPU/sharded runs only)
         grow_mspt = tile_capped > 0 and settings.max_splats_per_tile < (1 << 16)
-        if grow_budget or grow_mt or grow_mspt or back_off_tier:
+        if grow_budget or grow_mt or grow_mspt or back_off_tier or grow_a2a:
             new_budget = settings.max_pairs * (2 if grow_budget else 1)
             new_mt = settings.max_tiles_per_gauss * (2 if grow_mt else 1)
             new_mspt = settings.max_splats_per_tile * (2 if grow_mspt else 1)
@@ -708,19 +718,30 @@ def training(
                 new_tier = settings.tier_frac / 2
                 if new_tier < 0.25:  # too small a tier saves no sort time
                     new_tier = 0.0
+            new_a2a = settings.a2a_rows
+            if grow_a2a:
+                from gsjax.parallel.shard import _a2a_rows_auto
+
+                new_a2a = 2 * _a2a_rows_auto(
+                    state.capacity // max(gauss_shards, 1),
+                    max(gauss_shards, 1), settings.a2a_rows,
+                )
             print(
                 f"[ITER {iteration}] pair overflow "
                 f"(budget dropped {budget_dropped}, tile-capped {mt_capped}, "
-                f"tier-capped {tier_capped}, tile-truncated {tile_capped}): "
+                f"tier-capped {tier_capped}, tile-truncated {tile_capped}, "
+                f"exchange-dropped {exch_dropped}): "
                 f"max_pairs {settings.max_pairs} -> {new_budget}, "
                 f"tile cap {settings.max_tiles_per_gauss} -> {new_mt}, "
                 f"splats/tile {settings.max_splats_per_tile} -> {new_mspt}, "
-                f"tier_frac {settings.tier_frac} -> {new_tier}",
+                f"tier_frac {settings.tier_frac} -> {new_tier}, "
+                f"a2a rows {settings.a2a_rows} -> {new_a2a}",
                 flush=True,
             )
             settings = dataclasses.replace(
                 settings, max_pairs=new_budget, max_tiles_per_gauss=new_mt,
                 max_splats_per_tile=new_mspt, tier_frac=new_tier,
+                a2a_rows=new_a2a,
             )
             cfg = dataclasses.replace(cfg, settings=settings)
             step = None

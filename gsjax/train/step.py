@@ -296,6 +296,12 @@ def make_train_step_chained(
         metrics["num_budget_dropped"] = jnp.max(
             ms["num_dropped_pairs"] - ms["num_mt_capped_pairs"]
         )
+        # same for the mt-cap share not explained by the tier cap: a step
+        # with pure mt overflow must not be masked by another step's
+        # equal-sized tier overflow
+        metrics["num_mt_only_capped"] = jnp.max(
+            ms["num_mt_capped_pairs"] - ms["num_tier_capped_pairs"]
+        )
         return state, opt_state, metrics
 
     return chained

@@ -128,14 +128,17 @@ class LocalViewer:
 
         def fn_for(w, h):
             # keyed on capacity too: a viewer attached to a training run
-            # sees the state grow, and budgets scale with capacity
+            # sees the state grow, and budgets scale with capacity.
+            # ThreadingHTTPServer handles each request on its own thread —
+            # guard the cache or two first requests double-compile.
             key = (w, h, int(self.state.capacity))
-            if key not in self._fns:
-                settings = default_rasterize_settings(w, h, key[2])
-                self._fns[key] = make_render_fn(
-                    TrainConfig(settings=settings)
-                )
-            return self._fns[key]
+            with self._lock:
+                if key not in self._fns:
+                    settings = default_rasterize_settings(w, h, key[2])
+                    self._fns[key] = make_render_fn(
+                        TrainConfig(settings=settings)
+                    )
+                return self._fns[key]
 
         self._fn_for = fn_for
         self._server = None

@@ -71,10 +71,15 @@ def main(argv=None):
 
     w, h = cams[0].width, cams[0].height
     if args.at_1080p:
-        scale = min(1920 / w, 1080 / h)
+        # keep fov_x, recompute fov_y for the 16:9 aspect — same horizontal
+        # view rendered through real 1080p intrinsics (anisotropic pixels
+        # would distort the splat-per-pixel workload and the fps claim)
+        import numpy as np
+
         for i, c in enumerate(cams):
+            fov_y = 2 * np.arctan(np.tan(c.fov_x / 2) * 1080 / 1920)
             cams[i] = dataclasses.replace(c, width=1920, height=1080,
-                                          fov_x=c.fov_x, fov_y=c.fov_y)
+                                          fov_y=float(fov_y))
         w, h = 1920, 1080
 
     settings = default_rasterize_settings(w, h, state.capacity)

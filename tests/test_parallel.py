@@ -369,3 +369,41 @@ def test_multi_scene_parallel_matches_sequential(scene):
             np.asarray(ref_state.params["xyz"]),
             atol=1e-6,
         )
+
+
+def test_sharded_step_aot_lower_matches_eager(scene):
+    """CapacityWarmer AOT path (gsjax/train/loop.py): the sharded step
+    factories expose .lower whose compiled 4-arg executable matches the
+    eager wrapper — without it every sharded capacity growth stalls on an
+    inline recompile."""
+    state, cams, images = scene
+    opt = OptimizationParams()
+    cfg = TrainConfig(settings=SETTINGS, extent=2.0)
+    tx = make_optimizer(opt, state.spatial_lr_scale)
+    mesh = make_mesh(data=1, gauss=4, devices=jax.devices()[:4])
+    sstate = shard_gaussian_state(state, mesh)
+    opt_state = tx.init(sstate.params)
+    step = make_sharded_train_step(
+        tx, mesh, stack_render_cameras(cams), images, cfg
+    )
+
+    def abstract(x):
+        sh = getattr(x, "sharding", None)
+        if sh is not None and not hasattr(sh, "spec"):
+            sh = None
+        return jax.ShapeDtypeStruct(jnp.shape(x), x.dtype, sharding=sh)
+
+    cam_idx = jnp.array([2], jnp.int32)
+    key = jax.random.PRNGKey(9)
+    compiled = step.lower(
+        jax.tree.map(abstract, sstate),
+        jax.tree.map(abstract, opt_state),
+        abstract(cam_idx),
+        abstract(key),
+    ).compile()
+    s_a, _, m_a = compiled(sstate, opt_state, cam_idx, key)
+    s_e, _, m_e = step(sstate, opt_state, cam_idx, key)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_e["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_a.params["xyz"]), np.asarray(s_e.params["xyz"]), atol=1e-7
+    )

@@ -235,14 +235,18 @@ def main(argv=None):
 
     t0 = time.time()
     it = 0
+    # partial chunks recur (event spacing rarely divides n_chain) — cache
+    # the built step per chunk length or every boundary recompiles
+    small_steps = {}
     for ev in events:
         while it < ev:
             n = min(n_chain, ev - it)
             if n != n_chain:
-                small = make_multi_scene_train_step_chained(
-                    tx, cameras, images, cfg, mesh, n
-                )
-                states, opt_states, metrics = small(
+                if n not in small_steps:
+                    small_steps[n] = make_multi_scene_train_step_chained(
+                        tx, cameras, images, cfg, mesh, n
+                    )
+                states, opt_states, metrics = small_steps[n](
                     states, opt_states, sample_idx(n),
                     jnp.stack([jax.random.fold_in(key, it)] * n_scenes),
                 )
