@@ -452,6 +452,10 @@ def make_sharded_train_step_chained(
         metrics["num_budget_dropped"] = jnp.max(
             ms["num_dropped_pairs"] - ms["num_mt_capped_pairs"]
         )
+        # pre-difference per inner step (see make_train_step_chained)
+        metrics["num_mt_only_capped"] = jnp.max(
+            ms["num_mt_capped_pairs"] - ms["num_tier_capped_pairs"]
+        )
         return state, opt_state, metrics
 
     jchained = jax.jit(chained_impl)
