@@ -74,8 +74,6 @@ def main(argv=None):
         # keep fov_x, recompute fov_y for the 16:9 aspect — same horizontal
         # view rendered through real 1080p intrinsics (anisotropic pixels
         # would distort the splat-per-pixel workload and the fps claim)
-        import numpy as np
-
         for i, c in enumerate(cams):
             fov_y = 2 * np.arctan(np.tan(c.fov_x / 2) * 1080 / 1920)
             cams[i] = dataclasses.replace(c, width=1920, height=1080,
