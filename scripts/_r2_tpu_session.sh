@@ -18,18 +18,15 @@ run python bench.py --tier_frac 0.875 --grad_dtype bfloat16
 run python scripts/_r2_probe.py 128
 echo "=== r2 bench phase done $(date -u) ===" >> $LOG
 
-# Evidence run: full 30k schedule on the Garden-class synthetic scene,
-# then render + metrics + trained-scene fps (VERDICT round-1 item 2).
-M=output/synth_garden_30k
-echo "--- 30k training $(date -u +%H:%M:%S)" >> $LOG
-timeout 14400 python train.py -s data/synth_garden -m $M --eval \
-  --iterations 30000 --test_iterations 7000 30000 \
-  --save_iterations 7000 30000 --checkpoint_iterations 30000 \
-  > /tmp/sg30k_train.log 2>&1
-echo "--- train exit $? $(date -u +%H:%M:%S)" >> $LOG
-tail -5 /tmp/sg30k_train.log >> $LOG
-run python render.py -m $M --skip_train
-run python metrics.py -m $M
-run python scripts/render_bench.py -m $M
-run python scripts/render_bench.py -m $M --at_1080p
+# Evidence run: the reference's own orchestration (full_eval.py) over the
+# Garden-class synthetic scene — 30k train + render@7k/30k + metrics
+# (VERDICT round-1 item 2), then trained-scene fps.
+M=output/eval_r2
+echo "--- full_eval 30k $(date -u +%H:%M:%S)" >> $LOG
+timeout 18000 python full_eval.py --scenes data/synth_garden \
+  --output_path $M > /tmp/sg30k_train.log 2>&1
+echo "--- full_eval exit $? $(date -u +%H:%M:%S)" >> $LOG
+tail -8 /tmp/sg30k_train.log >> $LOG
+run python scripts/render_bench.py -m $M/synth_garden
+run python scripts/render_bench.py -m $M/synth_garden --at_1080p
 echo "=== r2 TPU session done $(date -u) ===" >> $LOG
