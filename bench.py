@@ -69,6 +69,36 @@ def _backend_cross_check():
     assert img_diff <= 5e-3 and t_diff <= 1e-4, (
         f"pallas/xla disagree on-device: img {img_diff:.2e}, T {t_diff:.2e}"
     )
+
+    # gradients too: the backward kernel + sort reduction must agree with
+    # the XLA compositor's autodiff on the live device, or a silent bwd
+    # miscompile would corrupt every training run this bench blesses
+    import jax
+
+    gouts = {}
+    for backend in ("pallas", "xla"):
+        s = RasterizeSettings(
+            max_pairs=1 << 19, max_splats_per_tile=2048, chunk=32,
+            backend=backend,
+        )
+
+        def loss(params):
+            import dataclasses as dc
+
+            st = dc.replace(state, params=params)
+            out = render_state(st, rcam, bg, s)
+            return jnp.mean(out["render"] ** 2)
+
+        g = jax.jit(jax.grad(loss))(state.params)
+        gouts[backend] = {k: np.asarray(v) for k, v in g.items()}
+    for k in gouts["pallas"]:
+        gp, gx = gouts["pallas"][k], gouts["xla"][k]
+        gd = float(np.abs(gp - gx).max())
+        scale = float(np.abs(gx).max()) or 1.0
+        assert gd <= 5e-3 * max(scale, 1.0), (
+            f"pallas/xla grads disagree on-device: {k} {gd:.2e} "
+            f"(scale {scale:.2e})"
+        )
     return img_diff
 
 
