@@ -20,3 +20,15 @@ Package layout
 """
 
 __version__ = "0.1.0"
+
+# On TPU, JAX's DEFAULT matmul precision truncates f32 operands to bfloat16
+# (~0.4% relative error). This framework's FLOPs live in the Pallas
+# rasterizer (which pins its own precision); the remaining matmuls —
+# world-view point transforms, SH color einsum, 3x3 covariance products,
+# SSIM convolutions — are tiny but numerically load-bearing (measured
+# on-chip: bf16 truncation moved final_T by 2e-3 and pixels by 5e-3).
+# Full f32 everywhere costs nothing measurable here, so make it the
+# package default rather than annotating every call site.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "float32")

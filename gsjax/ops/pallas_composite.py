@@ -60,6 +60,17 @@ def _eye8():
     return (r == c).astype(jnp.float32)
 
 
+# All kernel matmuls carry real state (log-transmittance partial sums,
+# color accumulators, boundary-array transposes), so they must NOT run at
+# the TPU MXU's DEFAULT precision, which truncates f32 operands to
+# bfloat16 (~0.4% relative) — measured on-chip as a 2e-3 final_T error and
+# a 5e-3 image error vs the XLA compositor (interpret-mode CPU tests
+# compute full f32 and cannot see this). HIGHEST = exact f32 via 6 MXU
+# passes; the kernels are VPU-bound and the matmuls overlap, so the extra
+# passes are free (measured: no fps change).
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _transpose_px8(x8):
     """(PIX, 8) -> (8, PIX) as one tiny MXU matmul.
 
@@ -72,7 +83,7 @@ def _transpose_px8(x8):
     does it for free as eye8 @ x8^T."""
     return jax.lax.dot_general(
         _eye8(), x8, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_PREC,
     )
 
 
@@ -80,7 +91,7 @@ def _transpose_8px(x8t):
     """(8, PIX) -> (PIX, 8) via the MXU (see :func:`_transpose_px8`)."""
     return jax.lax.dot_general(
         x8t, _eye8(), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_PREC,
     )
 
 
@@ -108,7 +119,7 @@ def _pix_sum(x):
     go through VMEM scratch refs instead of carries."""
     return jax.lax.dot_general(
         jnp.ones((1, x.shape[0]), jnp.float32), x,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_PREC,
     )
 
 
@@ -222,7 +233,7 @@ def _composite_kernel(
         # broadcasts + lane reductions become a single (PIX,chunk)@(chunk,3)
         col3 = jax.lax.dot_general(
             _rgb_rows(buf, slot), eye3, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_PREC,
         )  # (chunk, 3)
 
         gidx = win + ci * chunk + lane  # (1, chunk) global pair index
@@ -246,18 +257,18 @@ def _composite_kernel(
         # monotone-threshold identity made the kernel 17ms SLOWER — it is
         # VPU-bound and the MXU matmuls overlap with vector work for free.)
         lg = jnp.log1p(-alpha)  # log(1 - alpha); 0 where skipped
-        cum = jnp.dot(lg, tri_incl, preferred_element_type=jnp.float32)
+        cum = jnp.dot(lg, tri_incl, preferred_element_type=jnp.float32, precision=_PREC)
         trip = (ok & (logT + cum < LOG_T_EPS)).astype(jnp.float32)
-        tripped = jnp.dot(trip, tri_incl, preferred_element_type=jnp.float32)
+        tripped = jnp.dot(trip, tri_incl, preferred_element_type=jnp.float32, precision=_PREC)
         done_inc = tripped > 0.0
 
         alpha_eff = jnp.where(done_inc, 0.0, alpha)
         lg_eff = jnp.where(done_inc, 0.0, lg)
-        cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32)
+        cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32, precision=_PREC)
         w = alpha_eff * jnp.exp(logT + cum_excl)  # (PIX, chunk)
 
         acc[...] = acc[...] + jnp.dot(
-            w, col3, preferred_element_type=jnp.float32
+            w, col3, preferred_element_type=jnp.float32, precision=_PREC
         )
 
         contrib = alpha_eff > 0.0
@@ -380,7 +391,7 @@ def _composite_infer_kernel(
         op = buf[slot, 5:6, :]
         col3 = jax.lax.dot_general(
             _rgb_rows(buf, slot), eye3, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_PREC,
         )  # (chunk, 3)
 
         gidx = win + ci * chunk + lane
@@ -396,18 +407,18 @@ def _composite_infer_kernel(
         alpha = jnp.where(ok, alpha, 0.0)
 
         lg = jnp.log1p(-alpha)
-        cum = jnp.dot(lg, tri_incl, preferred_element_type=jnp.float32)
+        cum = jnp.dot(lg, tri_incl, preferred_element_type=jnp.float32, precision=_PREC)
         trip = (ok & (logT + cum < LOG_T_EPS)).astype(jnp.float32)
-        tripped = jnp.dot(trip, tri_incl, preferred_element_type=jnp.float32)
+        tripped = jnp.dot(trip, tri_incl, preferred_element_type=jnp.float32, precision=_PREC)
         done_inc = tripped > 0.0
 
         alpha_eff = jnp.where(done_inc, 0.0, alpha)
         lg_eff = jnp.where(done_inc, 0.0, lg)
-        cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32)
+        cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32, precision=_PREC)
         w = alpha_eff * jnp.exp(logT + cum_excl)
 
         acc[...] = acc[...] + jnp.dot(
-            w, col3, preferred_element_type=jnp.float32
+            w, col3, preferred_element_type=jnp.float32, precision=_PREC
         )
 
         logT = logT + jnp.sum(lg_eff, axis=1, keepdims=True)
@@ -592,7 +603,7 @@ def _composite_bwd_kernel(
         # transmittance before each pair, reconstructed back-to-front in
         # log space; the suffix sums run as triangular matmuls on the MXU
         lr = jnp.log1p(-a)  # 0 where skipped
-        Rlog = jnp.dot(lr, rtri_incl, preferred_element_type=jnp.float32)
+        Rlog = jnp.dot(lr, rtri_incl, preferred_element_type=jnp.float32, precision=_PREC)
         T_i = jnp.exp(logTrec - Rlog)
         w = T_i * a
 
@@ -600,10 +611,10 @@ def _composite_bwd_kernel(
         # three broadcast-muls + adds
         cdotv = jax.lax.dot_general(
             V, col3, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_PREC,
         )  # (PIX, chunk)
         q = w * cdotv
-        S_i = S + jnp.dot(q, rtri_excl, preferred_element_type=jnp.float32)
+        S_i = S + jnp.dot(q, rtri_excl, preferred_element_type=jnp.float32, precision=_PREC)
         dalpha = T_i * cdotv - (S_i + T_N * u) / one_m
         live = contrib & (raw <= ALPHA_MAX)  # clamp kills d(op, power)
         g_pow = jnp.where(live, alpha * dalpha, 0.0)
@@ -627,7 +638,7 @@ def _composite_bwd_kernel(
         g_my = cc * S2 + cb * S1
         g_rgb = jax.lax.dot_general(
             V, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_PREC,
         )  # (3, chunk): rows g_r, g_g, g_b
         g_r = g_rgb[0:1, :]
         g_g = g_rgb[1:2, :]
