@@ -28,7 +28,15 @@ __version__ = "0.1.0"
 # SSIM convolutions — are tiny but numerically load-bearing (measured
 # on-chip: bf16 truncation moved final_T by 2e-3 and pixels by 5e-3).
 # Full f32 everywhere costs nothing measurable here, so make it the
-# package default rather than annotating every call site.
+# package default — but only when the embedding application has not
+# already chosen a precision itself (and allow an env opt-out), so
+# importing gsjax never clobbers a deliberate host-app setting.
+import os as _os
+
 import jax as _jax
 
-_jax.config.update("jax_default_matmul_precision", "float32")
+if (
+    _os.environ.get("GSJAX_NO_PRECISION_OVERRIDE", "0") not in ("1", "true")
+    and _jax.config.jax_default_matmul_precision is None
+):
+    _jax.config.update("jax_default_matmul_precision", "float32")

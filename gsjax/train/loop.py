@@ -350,8 +350,24 @@ def training(
     data_shards: int = 1,
     gauss_shards: int = 1,
     debug_from: int = -1,
+    densify_iter_grad: str = "apply",
 ):
-    """Train a scene end-to-end. Returns (scene, final GaussianState)."""
+    """Train a scene end-to-end. Returns (scene, final GaussianState).
+
+    ``densify_iter_grad``: "apply" (default) applies every gradient step;
+    "discard" reproduces the reference's densify-iteration behavior of
+    dropping that step's Adam update (reference train.py:118-128 — its
+    tensor surgery leaves ``.grad=None`` so ``optimizer.step()`` is a
+    no-op there). A/B evidence: evidence/quality/densify_grad_ab.json.
+    """
+    if densify_iter_grad not in ("apply", "discard"):
+        raise ValueError(f"unknown densify_iter_grad {densify_iter_grad!r}")
+    discard_densify_grad = densify_iter_grad == "discard"
+    if discard_densify_grad and data_shards * gauss_shards > 1:
+        raise ValueError(
+            "densify_iter_grad='discard' is single-chip only (the sharded "
+            "step does not thread the apply_update flag)"
+        )
     random.seed(seed)
     np.random.seed(seed)
 
@@ -523,7 +539,12 @@ def training(
         key_abs = jax.ShapeDtypeStruct(jnp.shape(key), key.dtype)
         state_abs = _grown_abstract(state, state.capacity, new_c)
         opt_abs = _grown_abstract(opt_state, state.capacity, new_c)
-        jobs = {"step": (build, (state_abs, opt_abs, cam_abs, key_abs), {})}
+        step_args = (state_abs, opt_abs, cam_abs, key_abs)
+        if discard_densify_grad and chained is None and mesh is None:
+            # the single-step path carries the traced apply_update flag in
+            # discard mode — warm the matching 5-arg signature
+            step_args = step_args + (jax.ShapeDtypeStruct((), jnp.bool_),)
+        jobs = {"step": (build, step_args, {})}
         # densify/reset run every densification_interval — their first call
         # at the new capacity is otherwise an inline (tunnel) recompile.
         # Both use_screen_size variants: the flag flips at
@@ -545,13 +566,20 @@ def training(
 
     # Iterations at which post-step work happens (densify/reset/eval/save/
     # checkpoint); a chained dispatch may END on one but not cross one.
+    def is_densify_iter(i: int) -> bool:
+        return (
+            i < opt.densify_until_iter
+            and i > opt.densify_from_iter
+            and i % opt.densification_interval == 0
+        )
+
     def is_event(i: int) -> bool:
         if i in testing_iterations or i in saving_iterations:
             return True
         if i in checkpoint_iterations or i == opt.iterations:
             return True
         if i < opt.densify_until_iter:
-            if i > opt.densify_from_iter and i % opt.densification_interval == 0:
+            if is_densify_iter(i):
                 return True
             if i % opt.opacity_reset_interval == 0:
                 return True
@@ -561,11 +589,15 @@ def training(
 
     def chain_len(i: int) -> int:
         """How many steps starting at iteration i can run in one dispatch."""
+        if discard_densify_grad and is_densify_iter(i):
+            return 1  # must run via the single step carrying apply_update
         k = 1
         while k < n_chain:
             nxt = i + k
             if nxt % 1000 == 0:  # SH ramp happens before the step at nxt
                 break
+            if discard_densify_grad and is_densify_iter(nxt):
+                break  # next iteration needs the single-step path
             if is_event(nxt - 1):  # post-step work after iteration nxt - 1
                 break
             k += 1
@@ -639,7 +671,17 @@ def training(
                 b, local = bucket_of[pop_camera()]
                 cam_idx = jnp.int32(local)
                 fn = step if b == 0 else bucket_step(b)
-                state, opt_state, metrics = fn(state, opt_state, cam_idx, k)
+                if discard_densify_grad:
+                    # reference-exact: densify iterations render + collect
+                    # stats but drop the Adam update (train.py:118-128)
+                    apply = jnp.bool_(not is_densify_iter(iteration))
+                    state, opt_state, metrics = fn(
+                        state, opt_state, cam_idx, k, apply
+                    )
+                else:
+                    state, opt_state, metrics = fn(
+                        state, opt_state, cam_idx, k
+                    )
             loss = float(metrics["loss"])
             n_stepped = 1
         dt = time.time() - t0

@@ -11,10 +11,14 @@ Gradient-stat plumbing: instead of the reference's zero-tensor
 argument; its gradient is the per-Gaussian screen-space gradient consumed by
 densification (SURVEY.md §7.0 item 3).
 
-Known, deliberate semantic delta vs the reference: on densification
+Semantic delta vs the reference, now selectable: on densification
 iterations the reference silently discards that iteration's gradients
-(its tensor surgery rebuilds parameters before ``optimizer.step()``,
-train.py:118-128); gsjax applies every gradient step.
+(its tensor surgery rebuilds parameters — fresh ``.grad=None`` tensors —
+before ``optimizer.step()``, reference train.py:118-128); gsjax applies
+every gradient step by default. ``training(densify_iter_grad="discard")``
+reproduces the reference behavior exactly via the step's traced
+``apply_update`` flag (densification *stats* still accumulate either way,
+matching reference train.py:115-117 which runs before the surgery).
 """
 
 from __future__ import annotations
@@ -151,7 +155,7 @@ def make_render_fn(cfg: TrainConfig):
 
 def _train_step_body(
     tx, cameras, images, cfg: TrainConfig, bg_color,
-    state: GaussianState, opt_state, cam_idx, key,
+    state: GaussianState, opt_state, cam_idx, key, apply_update=None,
 ):
     camera = index_render_camera(cameras, cam_idx)
     gt = images[cam_idx]
@@ -208,6 +212,20 @@ def _train_step_body(
 
     updates, new_opt_state = tx.update(g_params, opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
+    if apply_update is not None:
+        # reference-exact densify-iteration semantics: when the flag is
+        # False the whole Adam application (params AND moments/count) is
+        # dropped, exactly as torch's step() with grad=None tensors after
+        # the reference's densify surgery (reference train.py:118-128)
+        keep = jnp.asarray(apply_update)
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(keep, new, old),
+            new_params, state.params,
+        )
+        new_opt_state = jax.tree.map(
+            lambda new, old: jnp.where(keep, new, old),
+            new_opt_state, opt_state,
+        )
     new_state = dataclasses.replace(state, params=new_params)
     new_state = add_densification_stats(
         new_state, g_offset, out["radii"], camera.width, camera.height
@@ -232,16 +250,22 @@ def make_train_step(
 ):
     """Build the jitted train step.
 
-    step(state, opt_state, cam_idx, key) ->
+    step(state, opt_state, cam_idx, key[, apply_update]) ->
         (state, opt_state, metrics dict)
+
+    ``apply_update`` (optional traced bool): False renders, accumulates
+    densification stats and reports metrics but drops the Adam update —
+    the reference's densify-iteration behavior (see module docstring).
+    Omitting it compiles the select-free graph.
     """
     bg_color = jnp.full(3, 1.0 if cfg.white_background else 0.0, jnp.float32)
     images = jnp.asarray(images)
 
     @jax.jit
-    def step(state: GaussianState, opt_state, cam_idx, key):
+    def step(state: GaussianState, opt_state, cam_idx, key, apply_update=None):
         return _train_step_body(
-            tx, cameras, images, cfg, bg_color, state, opt_state, cam_idx, key
+            tx, cameras, images, cfg, bg_color, state, opt_state, cam_idx,
+            key, apply_update,
         )
 
     return step

@@ -517,3 +517,73 @@ def test_web_viewer_attaches_to_training(blender_scene, tmp_path):
     assert seen["info"]["iteration"] >= 30
     assert seen["info"]["n_gaussians"] > 0
     assert seen["jpg"][:2] == b"\xff\xd8"  # JPEG magic
+
+
+def test_step_apply_update_flag_discards_adam_update():
+    """apply_update=False must drop the Adam update (params AND moments)
+    while still accumulating densification stats — the reference's
+    densify-iteration semantics (reference train.py:118-128)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import make_test_camera
+    from gsjax.data.cameras import stack_render_cameras
+    from gsjax.models import create_from_pcd
+    from gsjax.ops.rasterize import RasterizeSettings
+    from gsjax.train.optim import make_optimizer
+    from gsjax.train.step import TrainConfig, make_train_step
+
+    rng = np.random.default_rng(2)
+    n = 80
+    pts = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), rng.uniform(4, 7, n)],
+        axis=1,
+    )
+    state = create_from_pcd(
+        pts, rng.uniform(0, 1, (n, 3)), spatial_lr_scale=2.0, capacity=128
+    )
+    cams = stack_render_cameras([make_test_camera(32, 32, seed=1)])
+    images = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    cfg = TrainConfig(
+        settings=RasterizeSettings(max_pairs=1 << 12, max_splats_per_tile=256),
+        extent=2.0,
+    )
+    tx = make_optimizer(OptimizationParams(), 2.0)
+    opt_state = tx.init(state.params)
+    step = make_train_step(tx, cams, images, cfg)
+    key = jax.random.PRNGKey(7)
+
+    s_off, o_off, m_off = step(
+        state, opt_state, jnp.int32(0), key, jnp.bool_(False)
+    )
+    s_on, o_on, m_on = step(
+        state, opt_state, jnp.int32(0), key, jnp.bool_(True)
+    )
+
+    # flag False: params and optimizer state untouched
+    for k in state.params:
+        np.testing.assert_array_equal(
+            np.asarray(s_off.params[k]), np.asarray(state.params[k]), err_msg=k
+        )
+    for a, b in zip(jax.tree.leaves(o_off), jax.tree.leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ... but densification stats accumulated identically to the applied step
+    assert float(jnp.sum(s_off.denom)) > 0
+    np.testing.assert_array_equal(
+        np.asarray(s_off.xyz_grad_accum), np.asarray(s_on.xyz_grad_accum)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_off.denom), np.asarray(s_on.denom)
+    )
+
+    # flag True: identical to the default 4-arg step
+    s_def, o_def, _ = step(state, opt_state, jnp.int32(0), key)
+    for k in state.params:
+        np.testing.assert_array_equal(
+            np.asarray(s_on.params[k]), np.asarray(s_def.params[k]), err_msg=k
+        )
+    assert float(m_off["loss"]) == float(m_on["loss"])
+    # and the update genuinely changed something
+    assert not np.array_equal(
+        np.asarray(s_on.params["xyz"]), np.asarray(state.params["xyz"])
+    )

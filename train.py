@@ -48,6 +48,13 @@ def main(argv=None):
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="write a jax.profiler device trace of the first "
                              "100 iterations to DIR")
+    parser.add_argument(
+        "--densify_iter_grad", choices=("apply", "discard"), default="apply",
+        help="densify-iteration gradient semantics: 'discard' matches the "
+        "reference exactly (its optimizer surgery drops that step's "
+        "update, reference train.py:118-128); 'apply' (default) applies "
+        "every step",
+    )
     parser.add_argument("--steps_per_dispatch", type=int, default=25)
     parser.add_argument("--data_shards", type=int, default=1,
                         help="mesh axis: cameras per step (data parallel)")
@@ -163,6 +170,7 @@ def main(argv=None):
             data_shards=args.data_shards,
             gauss_shards=args.gauss_shards,
             debug_from=args.debug_from,
+            densify_iter_grad=args.densify_iter_grad,
         )
     print("\nTraining complete.")
 
