@@ -113,10 +113,12 @@ def main():
     from gsjax.train.step import render_state
 
     ap = argparse.ArgumentParser()
-    # A/B knob for the tiered binning sort (0 = dense grid, the default)
-    ap.add_argument("--tier_frac", type=float, default=0.0)
-    # A/B knob for the packed-bf16 single-sort backward reduction
-    ap.add_argument("--grad_dtype", default="float32",
+    # A/B knob for the tiered binning sort (0 = dense grid); default is the
+    # measured winner from evidence/perf/r3_ab.jsonl
+    ap.add_argument("--tier_frac", type=float, default=0.875)
+    # A/B knob for the packed-bf16 single-sort backward reduction; bf16 is
+    # the measured winner (fwd+bwd 292 -> 264 ms at the bench scene)
+    ap.add_argument("--grad_dtype", default="bfloat16",
                     choices=("float32", "bfloat16"))
     args = ap.parse_args()
 

@@ -211,6 +211,12 @@ def default_rasterize_settings(
     return RasterizeSettings(
         max_pairs=max_pairs, max_splats_per_tile=mspt, chunk=32,
         max_tiles_per_gauss=mt,
+        # measured winners (evidence/perf/r3_ab.jsonl, 1080p/1M bench
+        # scene): tiered binning halves the key sort (60.6 -> 31.8 ms) and
+        # the packed-bf16 single-sort backward reduction takes fwd+bwd
+        # 292 -> 264 ms. The trainer halves tier_frac automatically on any
+        # tier-cap event (see the overflow reaction below).
+        tier_frac=0.875, grad_dtype="bfloat16",
     )
 
 
