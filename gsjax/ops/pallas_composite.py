@@ -70,6 +70,61 @@ def _eye8():
 # passes are free (measured: no fps change).
 _PREC = jax.lax.Precision.HIGHEST
 
+# The (chunk, chunk) triangular prefix/suffix-sum matmuls are the kernels'
+# only BIG dots (3 fwd + 2 bwd per chunk x ~26k chunks at the 1080p bench
+# scene). At HIGHEST (bf16x6, Mosaic's only full-f32 mode) their 6 passes
+# stop hiding under the VPU work — measured as the round-2 forward-kernel
+# regression (docs/PERF.md round 3). Since the triangular operand is
+# exactly representable in bf16 (0/1 entries), a k-term bf16 split of the
+# DATA operand at DEFAULT precision reproduces the product with
+# k*8-bit-mantissa accuracy in k passes (the last term rides DEFAULT's
+# own truncation). Measured on-chip (evidence/perf/r3_prec.jsonl, 1080p/1M
+# scene): k=0/HIGHEST fwd 120.0ms; k=3 105.9; k=2 100.7; k=1 (plain
+# DEFAULT, the known-wrong 2^-8 mode round 2 fixed) 101.6 with 1.1e-3
+# image error. k=2 is therefore AT the MXU-hidden ceiling while keeping
+# 16-bit-mantissa prefix sums: worst-case |log T_EPS|*2^-17 ~ 7e-5 on
+# log T, and the live cross-check diff vs the XLA compositor is
+# bit-identical to the HIGHEST run (7.1e-5 img / 8.6e-5 T — dominated by
+# reassociation, not the split). Bump to 3 if a scene ever trips the
+# bench cross-check.
+_TRI_SPLIT = 2
+
+
+def _tri_dot(a, tri):
+    """``a @ tri`` where ``tri`` has only 0/1 entries (bf16-exact).
+
+    ``_TRI_SPLIT`` terms of a bf16 operand split at DEFAULT MXU precision;
+    0 = single HIGHEST dot (round-2 behavior, A/B anchor)."""
+    dn = (((1,), (0,)), ((), ()))
+    if _TRI_SPLIT == 0:
+        return jax.lax.dot_general(
+            a, tri, dn, preferred_element_type=jnp.float32, precision=_PREC
+        )
+    out = None
+    r = a
+    for i in range(_TRI_SPLIT):
+        if i < _TRI_SPLIT - 1:
+            t = r.astype(jnp.bfloat16).astype(jnp.float32)
+            r = r - t
+        else:
+            t = r  # DEFAULT truncates the final remainder itself
+        d = jax.lax.dot_general(
+            t, tri, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        out = d if out is None else out + d
+    return out
+
+
+def _exact01_dot(a01, tri):
+    """``a01 @ tri`` with BOTH operands 0/1-valued: DEFAULT is exact (bf16
+    represents 0/1 exactly), so never pay HIGHEST's extra passes here."""
+    return jax.lax.dot_general(
+        a01, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
 
 def _transpose_px8(x8):
     """(PIX, 8) -> (8, PIX) as one tiny MXU matmul.
@@ -257,14 +312,14 @@ def _composite_kernel(
         # monotone-threshold identity made the kernel 17ms SLOWER — it is
         # VPU-bound and the MXU matmuls overlap with vector work for free.)
         lg = jnp.log1p(-alpha)  # log(1 - alpha); 0 where skipped
-        cum = jnp.dot(lg, tri_incl, preferred_element_type=jnp.float32, precision=_PREC)
+        cum = _tri_dot(lg, tri_incl)
         trip = (ok & (logT + cum < LOG_T_EPS)).astype(jnp.float32)
-        tripped = jnp.dot(trip, tri_incl, preferred_element_type=jnp.float32, precision=_PREC)
+        tripped = _exact01_dot(trip, tri_incl)
         done_inc = tripped > 0.0
 
         alpha_eff = jnp.where(done_inc, 0.0, alpha)
         lg_eff = jnp.where(done_inc, 0.0, lg)
-        cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32, precision=_PREC)
+        cum_excl = _tri_dot(lg_eff, tri_excl)
         w = alpha_eff * jnp.exp(logT + cum_excl)  # (PIX, chunk)
 
         acc[...] = acc[...] + jnp.dot(
@@ -407,14 +462,14 @@ def _composite_infer_kernel(
         alpha = jnp.where(ok, alpha, 0.0)
 
         lg = jnp.log1p(-alpha)
-        cum = jnp.dot(lg, tri_incl, preferred_element_type=jnp.float32, precision=_PREC)
+        cum = _tri_dot(lg, tri_incl)
         trip = (ok & (logT + cum < LOG_T_EPS)).astype(jnp.float32)
-        tripped = jnp.dot(trip, tri_incl, preferred_element_type=jnp.float32, precision=_PREC)
+        tripped = _exact01_dot(trip, tri_incl)
         done_inc = tripped > 0.0
 
         alpha_eff = jnp.where(done_inc, 0.0, alpha)
         lg_eff = jnp.where(done_inc, 0.0, lg)
-        cum_excl = jnp.dot(lg_eff, tri_excl, preferred_element_type=jnp.float32, precision=_PREC)
+        cum_excl = _tri_dot(lg_eff, tri_excl)
         w = alpha_eff * jnp.exp(logT + cum_excl)
 
         acc[...] = acc[...] + jnp.dot(
@@ -603,7 +658,7 @@ def _composite_bwd_kernel(
         # transmittance before each pair, reconstructed back-to-front in
         # log space; the suffix sums run as triangular matmuls on the MXU
         lr = jnp.log1p(-a)  # 0 where skipped
-        Rlog = jnp.dot(lr, rtri_incl, preferred_element_type=jnp.float32, precision=_PREC)
+        Rlog = _tri_dot(lr, rtri_incl)
         T_i = jnp.exp(logTrec - Rlog)
         w = T_i * a
 
@@ -614,7 +669,7 @@ def _composite_bwd_kernel(
             preferred_element_type=jnp.float32, precision=_PREC,
         )  # (PIX, chunk)
         q = w * cdotv
-        S_i = S + jnp.dot(q, rtri_excl, preferred_element_type=jnp.float32, precision=_PREC)
+        S_i = S + _tri_dot(q, rtri_excl)
         dalpha = T_i * cdotv - (S_i + T_N * u) / one_m
         live = contrib & (raw <= ALPHA_MAX)  # clamp kills d(op, power)
         g_pow = jnp.where(live, alpha * dalpha, 0.0)
