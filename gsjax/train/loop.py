@@ -237,6 +237,9 @@ def _probe_initial_budgets(settings, state, train_cams, width, height):
 
     tiles_x, tiles_y = num_tiles(width, height)
 
+    # small-tier cap candidates for the tier_frac safety check below
+    tier_ks = (2, 4, 8, 16, 32)
+
     @jax.jit
     def probe(state, camera):
         means3d, scales, quats, opac, shs = activated(state)
@@ -245,17 +248,23 @@ def _probe_initial_budgets(settings, state, train_cams, width, height):
             state.active_sh_degree, active_mask=state.active,
             opacity_aware_radius=settings.opacity_aware_radius,
         )
-        return jnp.max(sp.tiles_touched), jnp.sum(sp.tiles_touched)
+        counts = sp.tiles_touched
+        frac_le = jnp.stack(
+            [jnp.mean((counts <= k).astype(jnp.float32)) for k in tier_ks]
+        )
+        return jnp.max(counts), jnp.sum(counts), frac_le
 
     probe_cams = train_cams[:: max(1, len(train_cams) // 4)][:4]
     mt_need, pairs_need = 0, 0
+    frac_le_min = np.ones(len(tier_ks))
     for c in probe_cams:
         rc = c.to_render_camera()
         if (rc.width, rc.height) != (width, height):
             continue
-        m, p = probe(state, rc)
+        m, p, fr = probe(state, rc)
         mt_need = max(mt_need, int(m))
         pairs_need = max(pairs_need, int(p))
+        frac_le_min = np.minimum(frac_le_min, np.asarray(fr))
     if mt_need == 0:
         return settings
     mt = int(
@@ -269,16 +278,36 @@ def _probe_initial_budgets(settings, state, train_cams, width, height):
     max_pairs = settings.max_pairs
     while max_pairs < pairs_need * 2 and max_pairs < 1 << 24:
         max_pairs *= 2
-    if mt > settings.max_tiles_per_gauss or max_pairs > settings.max_pairs:
+    # tier_frac safety: the small tier holds the tier_frac*N smallest
+    # footprints at mt/4 slots each. An SfM init with mostly-large
+    # footprints would tier-cap on iteration 1 and trigger 1-2 back-off
+    # recompiles (minutes through the remote-compile tunnel), so start
+    # tier_frac at the measured fraction of gaussians fitting the small
+    # tier (3% margin, min over probe cameras; count-0 padding rows are
+    # always safe and correctly counted — tier assignment spans all rows).
+    mt_final = max(mt, settings.max_tiles_per_gauss)
+    tier_frac = settings.tier_frac
+    if tier_frac > 0:
+        mt_small = max(2, mt_final // 4)
+        if mt_small <= tier_ks[-1]:
+            ki = min(i for i, k in enumerate(tier_ks) if k >= mt_small)
+            safe = max(0.0, float(frac_le_min[ki]) - 0.03)
+            tier_frac = min(tier_frac, np.floor(safe * 16) / 16)
+            if tier_frac < 0.25:  # too small a tier saves no sort time
+                tier_frac = 0.0
+    if (mt > settings.max_tiles_per_gauss or max_pairs > settings.max_pairs
+            or tier_frac != settings.tier_frac):
         print(
             f"budget probe: max tiles/gauss {mt_need} (cap "
             f"{settings.max_tiles_per_gauss} -> {mt}), pairs {pairs_need} "
-            f"(budget {settings.max_pairs} -> {max_pairs})"
+            f"(budget {settings.max_pairs} -> {max_pairs}), tier_frac "
+            f"{settings.tier_frac} -> {tier_frac}"
         )
     return dataclasses.replace(
         settings,
-        max_tiles_per_gauss=max(mt, settings.max_tiles_per_gauss),
+        max_tiles_per_gauss=mt_final,
         max_pairs=max_pairs,
+        tier_frac=float(tier_frac),
     )
 
 

@@ -587,3 +587,43 @@ def test_step_apply_update_flag_discards_adam_update():
     assert not np.array_equal(
         np.asarray(s_on.params["xyz"]), np.asarray(state.params["xyz"])
     )
+
+
+def test_budget_probe_lowers_unsafe_tier_frac():
+    """A large-footprint SfM init must start with a tier_frac the measured
+    histogram supports (else iteration 1 tier-caps and forces back-off
+    recompiles); a small-footprint scene keeps the default."""
+    import jax.numpy as jnp
+
+    from conftest import make_test_camera
+    from gsjax.models import create_from_pcd
+    from gsjax.ops.rasterize import RasterizeSettings
+    from gsjax.train.loop import _probe_initial_budgets
+
+    rng = np.random.default_rng(0)
+    n = 200
+    pts = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), rng.uniform(3, 6, n)],
+        axis=1,
+    )
+    state = create_from_pcd(
+        pts, rng.uniform(0, 1, (n, 3)), spatial_lr_scale=2.0, capacity=256
+    )
+    # blow the scales up so every gaussian spans many tiles
+    import dataclasses
+
+    p = dict(state.params)
+    p["scaling"] = jnp.full_like(p["scaling"], -0.5)
+    big = dataclasses.replace(state, params=p)
+    cams = [make_test_camera(128, 128, seed=1)]
+    settings = RasterizeSettings(
+        max_pairs=1 << 14, max_tiles_per_gauss=16, tier_frac=0.875
+    )
+    probed = _probe_initial_budgets(settings, big, cams, 128, 128)
+    assert probed.tier_frac < 0.875
+
+    # tiny footprints: default survives
+    p["scaling"] = jnp.full_like(p["scaling"], -5.0)
+    small = dataclasses.replace(state, params=p)
+    probed2 = _probe_initial_budgets(settings, small, cams, 128, 128)
+    assert probed2.tier_frac == 0.875
