@@ -815,6 +815,17 @@ def training(
                 f"a2a rows {settings.a2a_rows} -> {new_a2a}",
                 flush=True,
             )
+            # --quiet swallows stdout (reference safe_state semantics), so
+            # budget reactions also land in the jsonl for post-hoc forensics
+            logs.write({
+                "iter": iteration, "event": "pair_overflow",
+                "budget_dropped": budget_dropped, "mt_capped": mt_capped,
+                "tier_capped": tier_capped, "tile_truncated": tile_capped,
+                "exchange_dropped": exch_dropped,
+                "max_pairs": new_budget, "max_tiles_per_gauss": new_mt,
+                "max_splats_per_tile": new_mspt, "tier_frac": new_tier,
+                "a2a_rows": new_a2a,
+            })
             settings = dataclasses.replace(
                 settings, max_pairs=new_budget, max_tiles_per_gauss=new_mt,
                 max_splats_per_tile=new_mspt, tier_frac=new_tier,
@@ -924,6 +935,12 @@ def training(
                         f"[ITER {iteration}] growth pause "
                         f"{time.time() - t_grow:.2f}s", flush=True,
                     )
+                    logs.write({
+                        "iter": iteration, "event": "capacity_growth",
+                        "capacity": new_c,
+                        "precompiled": sorted(warmed),
+                        "pause_s": round(time.time() - t_grow, 2),
+                    })
 
             if iteration % opt.opacity_reset_interval == 0 or (
                 model.white_background and iteration == opt.densify_from_iter
