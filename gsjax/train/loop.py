@@ -777,7 +777,27 @@ def training(
             metrics.get("num_mt_only_capped", mt_capped - tier_capped)
         )
         grow_budget = budget_dropped > 0 and settings.max_pairs < (1 << 26)
-        grow_mt = mt_only > 0 and settings.max_tiles_per_gauss < 128
+        # the per-gaussian tile cap may grow to the point where either (a)
+        # one gaussian can cover the whole frame (no cap can drop pairs),
+        # or (b) the dense expansion grid would exceed a memory/sort bound
+        # (~64M slots — at bench scale, capacity 2^20 / tier 0.875, that is
+        # mt=128; a small scene can afford full-frame mt). A fixed mt=128
+        # ceiling silently dropped ~6% of pairs/frame on the 800² evidence
+        # scene, whose trained state keeps ~10% of gaussians wider than 16
+        # tiles (max ~600).
+        tiles_total = -(-width // 16) * -(-height // 16)
+        mt_frame_cap = 2 ** int(np.ceil(np.log2(max(tiles_total, 2))))
+
+        def _expansion_slots(mt):
+            tf = settings.tier_frac
+            ca = min(int(state.capacity * tf) // 8 * 8, state.capacity)
+            return ca * max(2, mt // 4) + (state.capacity - ca) * mt
+
+        mt_cap = 16
+        while (mt_cap < mt_frame_cap
+               and _expansion_slots(mt_cap * 2) <= (1 << 26)):
+            mt_cap *= 2
+        grow_mt = mt_only > 0 and settings.max_tiles_per_gauss < mt_cap
         # a2a splat-exchange send-budget overflow: splats silently vanish
         # from the owning strip otherwise — double the per-destination rows
         exch_dropped = int(metrics.get("num_exchange_dropped", 0))
