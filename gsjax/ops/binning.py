@@ -105,8 +105,23 @@ def build_tile_bins(
     exact_depth_sort: bool = False,
     max_tiles_per_gauss: int = 32,
     tier_frac: float = 0.0,
+    expansion: str = "grid",
 ):
-    """Expand per-Gaussian tile rectangles into sorted (tile, depth) pairs."""
+    """Expand per-Gaussian tile rectangles into sorted (tile, depth) pairs.
+
+    ``expansion="compact"`` replaces the dense (N, mt) grid with a
+    budget-sized expansion: after the same ascending-count partition sort,
+    the rows needing a j-th tile slot form a SUFFIX of the row order for
+    every j (counts are non-decreasing), so pair p of the compact
+    [0, max_pairs) range maps to (row, j) with two searchsorteds and one
+    (P, 5)-column row gather — the key sort is max_pairs entries
+    regardless of footprint variance, where the grid pays
+    ~N * mt_mix slots (measured pathological case: one near-full-frame
+    gaussian forced mt=8192 at capacity 16k -> 46M grid slots for 0.76M
+    real pairs). The grid stays the default where N * mt_mix is within a
+    small factor of max_pairs (it avoids the per-pair gather; see
+    docs/PERF.md round 3). ``tier_frac`` is ignored in compact mode
+    (the expansion is exact up to the mt cap; nothing is tier-capped)."""
     n = splats.depths.shape[0]
     mt = max_tiles_per_gauss
     if mt & (mt - 1):
@@ -118,9 +133,19 @@ def build_tile_bins(
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     depth_bits = 32 - tile_bits
 
+    if expansion not in ("grid", "compact"):
+        raise ValueError(f"unknown expansion {expansion!r}")
+    compact = expansion == "compact" and not exact_depth_sort
+    if compact and n * mt >= 2**31:
+        raise ValueError(
+            "compact expansion encodes virtual slots as row*mt + j in "
+            f"int32; capacity {n} x mt {mt} overflows — lower the tile cap"
+        )
+
     mt_small = max(2, mt // 4)
     ca = min(int(n * tier_frac) // 8 * 8, n)  # small-tier row budget
-    tiered = not exact_depth_sort and mt_small < mt and 0 < ca < n
+    tiered = (not exact_depth_sort and not compact and mt_small < mt
+              and 0 < ca < n)
 
     if exact_depth_sort:
         counts = jnp.minimum(splats.tiles_touched, mt)
@@ -145,6 +170,91 @@ def build_tile_bins(
         inv_perm = None
         gauss_count = counts
         total_slots = n * mt
+    elif compact:
+        # --- budget-sized expansion: sort size == max_pairs, independent
+        # of footprint variance. Ascending-count partition sort (as in the
+        # tiered path) makes the rows needing a j-th slot a SUFFIX of the
+        # row order for every j, so the compact pair range maps to
+        # (row, j) with two searchsorteds — no dense grid. ---
+        raw_counts = jnp.minimum(splats.tiles_touched, mt)
+        depth_q = _quantized_depth(splats.depths, depth_bits)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        rect_w = splats.rect_max[:, 0] - splats.rect_min[:, 0]
+        if n * (mt + 1) < 2**31:
+            pkey = raw_counts * jnp.int32(n) + idx
+            pkey_s, rx, ry, rw, dq, cnt = jax.lax.sort(
+                (pkey, splats.rect_min[:, 0], splats.rect_min[:, 1],
+                 rect_w, depth_q, raw_counts),
+                num_keys=1, is_stable=False,  # keys are unique
+            )
+            orig_idx = pkey_s - cnt * jnp.int32(n)
+        else:
+            _, orig_idx, rx, ry, rw, dq, cnt = jax.lax.sort(
+                (raw_counts, idx, splats.rect_min[:, 0],
+                 splats.rect_min[:, 1], rect_w, depth_q, raw_counts),
+                num_keys=2, is_stable=False,
+            )
+
+        # suffix starts: rows with count > j begin at s[j] (counts are
+        # non-decreasing); off[j] = first compact pair index of slot j
+        js = jnp.arange(mt + 1, dtype=jnp.int32)
+        s_j = jnp.searchsorted(cnt, js, side="right").astype(jnp.int32)
+        suffix_len = jnp.int32(n) - s_j
+        off = jnp.concatenate([
+            jnp.zeros(1, jnp.int32), jnp.cumsum(suffix_len[:mt])
+        ]).astype(jnp.int32)
+        total = off[mt]  # == sum(cnt)
+
+        p_cap = min(max_pairs, n * mt)
+        p_idx = jnp.arange(p_cap, dtype=jnp.int32)
+        # pair -> (slot j, row): NO per-pair searchsorted / scalar gathers —
+        # TPU lowers those to ~element-at-a-time loads (measured 239ms
+        # binning at 2.1M pairs vs 70ms for the 11.5M-slot tiered grid).
+        # Instead scatter j/row deltas at the mt segment boundaries and
+        # cumsum: j_of[p] = #{j >= 1 : off[j] <= p}; row = base[j_of] + p
+        # with base[j] = s_j[j] - off[j] telescoped the same way (duplicate
+        # boundaries of empty slots fold correctly under scatter-add).
+        j_of = jnp.cumsum(
+            jnp.zeros(p_cap, jnp.int32)
+            .at[off[1:]]
+            .add(1, mode="drop", indices_are_sorted=True)
+        )
+        base = s_j[:mt] - off[:mt]
+        bdelta = jnp.concatenate([base[:1], base[1:] - base[:-1]])
+        row_base = jnp.cumsum(
+            jnp.zeros(p_cap, jnp.int32)
+            .at[off[:mt]]
+            .add(bdelta, mode="drop", indices_are_sorted=True)
+        )
+        valid = p_idx < total
+        row = jnp.where(valid, row_base + p_idx, 0)
+
+        # one (P, 5) int32 row gather of the sorted per-row attrs (all
+        # integer-valued; an f32 table would corrupt depth bits > 2^24)
+        tbl = jnp.stack([rx, ry, jnp.maximum(rw, 1), dq, orig_idx], axis=1)
+        g = tbl[row]
+        tx = g[:, 0] + j_of % g[:, 2]
+        ty = g[:, 1] + j_of // g[:, 2]
+        tile = jnp.where(valid, ty * tiles_x + tx, num_tiles)
+        key = (tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | (
+            jnp.where(valid, g[:, 3], (1 << depth_bits) - 1).astype(
+                jnp.uint32
+            )
+        )
+        slot = row * mt + j_of
+        gauss = g[:, 4]
+
+        key_s, sorted_slot, sorted_g = jax.lax.sort(
+            (key, slot, gauss), num_keys=2, is_stable=False
+        )
+        tile_s = (key_s >> jnp.uint32(depth_bits)).astype(jnp.int32)
+        _, inv_perm = jax.lax.sort(
+            (orig_idx, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+            is_stable=False,
+        )
+        gauss_count = cnt  # slot (row) order
+        total_slots = p_cap
+        tier_capped = jnp.int32(0)
     elif not tiered:
         counts = jnp.minimum(splats.tiles_touched, mt)
         depth_q = _quantized_depth(splats.depths, depth_bits)

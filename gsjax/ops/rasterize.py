@@ -76,6 +76,13 @@ class RasterizeSettings:
     # r_op bounds the alpha >= 1/255 support — bit-exact pair-count
     # reduction (gsjax/ops/projection.py). False = plain 3-sigma rects.
     opacity_aware_radius: bool = True
+    # pair-expansion strategy: "grid" = dense (N, mt) slot grid (cheapest
+    # when footprints are uniform: no per-pair gather); "compact" =
+    # budget-sized suffix expansion whose key sort is max_pairs entries
+    # regardless of footprint variance (essential when one wide gaussian
+    # forces a huge per-gaussian tile cap — see gsjax/ops/binning.py).
+    # tier_frac only applies to "grid".
+    expansion: str = "grid"
 
     def __post_init__(self):
         if self.max_splats_per_tile % self.chunk:
@@ -86,6 +93,8 @@ class RasterizeSettings:
             raise ValueError(f"unknown grad_reduce {self.grad_reduce!r}")
         if self.splat_exchange not in ("all_gather", "a2a"):
             raise ValueError(f"unknown splat_exchange {self.splat_exchange!r}")
+        if self.expansion not in ("grid", "compact"):
+            raise ValueError(f"unknown expansion {self.expansion!r}")
 
 
 def render(
@@ -132,6 +141,7 @@ def render(
         exact_depth_sort=settings.exact_depth_sort,
         max_tiles_per_gauss=settings.max_tiles_per_gauss,
         tier_frac=settings.tier_frac,
+        expansion=settings.expansion,
     )
     backend = settings.backend
     if backend == "auto":

@@ -239,6 +239,7 @@ def _render_strip(
         local, tiles_x, strips_y, max(settings.max_pairs // gauss_size, 1024),
         max_tiles_per_gauss=settings.max_tiles_per_gauss,
         tier_frac=settings.tier_frac,
+        expansion=settings.expansion,
     )
     backend = settings.backend
     if backend == "auto":

@@ -220,7 +220,8 @@ def default_rasterize_settings(
     )
 
 
-def _probe_initial_budgets(settings, state, train_cams, width, height):
+def _probe_initial_budgets(settings, state, train_cams, width, height,
+                           inference=False):
     """Measure the SfM-initialized scene's actual footprints on a few
     cameras and size the per-gaussian tile cap (and pair budget) before the
     first train-step compile.
@@ -278,6 +279,15 @@ def _probe_initial_budgets(settings, state, train_cams, width, height):
     max_pairs = settings.max_pairs
     while max_pairs < pairs_need * 2 and max_pairs < 1 << 24:
         max_pairs *= 2
+    if inference:
+        # no densification at render time: footprints are fixed and the
+        # probe saw the real view-dependent max, so 1.5x headroom suffices
+        # — every per-pair stage (expansion sort, pack gather, kernel
+        # windows) scales with max_pairs (64k-aligned for kernel blocks)
+        max_pairs = min(
+            max_pairs,
+            max(1 << 18, -(-int(pairs_need * 1.5) // 65536) * 65536),
+        )
     # tier_frac safety: the small tier holds the tier_frac*N smallest
     # footprints at mt/4 slots each. An SfM init with mostly-large
     # footprints would tier-cap on iteration 1 and trigger 1-2 back-off
@@ -295,20 +305,48 @@ def _probe_initial_budgets(settings, state, train_cams, width, height):
             tier_frac = min(tier_frac, np.floor(safe * 16) / 16)
             if tier_frac < 0.25:  # too small a tier saves no sort time
                 tier_frac = 0.0
+    # expansion strategy: the dense grid pays ~capacity * mt_mix sort
+    # slots; when footprint variance forces a big mt (one wide gaussian
+    # caps everyone's stride) that explodes far past the real pair count —
+    # switch to the budget-sized compact expansion, whose sort is
+    # max_pairs entries regardless of mt (gsjax/ops/binning.py).
+    expansion = settings.expansion
+    cap = state.capacity
+    ca = min(int(cap * tier_frac) // 8 * 8, cap)
+    grid_slots = ca * max(2, mt_final // 4) + (cap - ca) * mt_final
+    if grid_slots > 4 * max_pairs and cap * mt_final < 2**31:
+        expansion = "compact"
     if (mt > settings.max_tiles_per_gauss or max_pairs > settings.max_pairs
-            or tier_frac != settings.tier_frac):
+            or tier_frac != settings.tier_frac
+            or expansion != settings.expansion):
         print(
             f"budget probe: max tiles/gauss {mt_need} (cap "
             f"{settings.max_tiles_per_gauss} -> {mt}), pairs {pairs_need} "
             f"(budget {settings.max_pairs} -> {max_pairs}), tier_frac "
-            f"{settings.tier_frac} -> {tier_frac}"
+            f"{settings.tier_frac} -> {tier_frac}, expansion {expansion}"
         )
     return dataclasses.replace(
         settings,
         max_tiles_per_gauss=mt_final,
         max_pairs=max_pairs,
         tier_frac=float(tier_frac),
+        expansion=expansion,
     )
+
+
+def probe_rasterize_settings(state, cams, width, height, base=None):
+    """Inference-time budget sizing: heuristics + on-model footprint probe.
+
+    render.py and the viewers render TRAINED models whose largest
+    gaussians can span hundreds of tiles; the static default tile cap
+    (mt=16) silently drops their far tiles (observed on the 800² evidence
+    scene: ~40% of pairs lost, renders 19 dB below the model's true
+    quality). One preprocess probe sizes mt / max_pairs / tier_frac to
+    the actual model before the first compile — the same probe the
+    trainer runs at startup."""
+    s = base or default_rasterize_settings(width, height, state.capacity)
+    return _probe_initial_budgets(s, state, cams, width, height,
+                                  inference=True)
 
 
 @dataclasses.dataclass
@@ -793,10 +831,29 @@ def training(
             ca = min(int(state.capacity * tf) // 8 * 8, state.capacity)
             return ca * max(2, mt // 4) + (state.capacity - ca) * mt
 
-        mt_cap = 16
-        while (mt_cap < mt_frame_cap
-               and _expansion_slots(mt_cap * 2) <= (1 << 26)):
-            mt_cap *= 2
+        def _mt_cap_compact():
+            # compact expansion sorts max_pairs entries whatever mt is;
+            # the only bound is the int32 row*mt+j virtual-slot encoding
+            c = 16
+            while c < mt_frame_cap and state.capacity * c * 2 < 2**31:
+                c *= 2
+            return c
+
+        new_expansion = settings.expansion
+        if settings.expansion == "compact":
+            mt_cap = _mt_cap_compact()
+        else:
+            mt_cap = 16
+            while (mt_cap < mt_frame_cap
+                   and _expansion_slots(mt_cap * 2) <= (1 << 26)):
+                mt_cap *= 2
+            if (mt_only > 0 and settings.max_tiles_per_gauss >= mt_cap
+                    and _mt_cap_compact() > mt_cap):
+                # the grid hit its slot-memory bound with pairs still
+                # capped — the compact expansion affords a bigger mt at
+                # max_pairs sort cost
+                new_expansion = "compact"
+                mt_cap = _mt_cap_compact()
         grow_mt = mt_only > 0 and settings.max_tiles_per_gauss < mt_cap
         # a2a splat-exchange send-budget overflow: splats silently vanish
         # from the owning strip otherwise — double the per-destination rows
@@ -806,7 +863,8 @@ def training(
         # the XLA compositor's fixed scan depth truncated a live tile (the
         # Pallas kernel never caps; this fires on CPU/sharded runs only)
         grow_mspt = tile_capped > 0 and settings.max_splats_per_tile < (1 << 16)
-        if grow_budget or grow_mt or grow_mspt or back_off_tier or grow_a2a:
+        if (grow_budget or grow_mt or grow_mspt or back_off_tier
+                or grow_a2a or new_expansion != settings.expansion):
             new_budget = settings.max_pairs * (2 if grow_budget else 1)
             new_mt = settings.max_tiles_per_gauss * (2 if grow_mt else 1)
             new_mspt = settings.max_splats_per_tile * (2 if grow_mspt else 1)
@@ -832,7 +890,8 @@ def training(
                 f"tile cap {settings.max_tiles_per_gauss} -> {new_mt}, "
                 f"splats/tile {settings.max_splats_per_tile} -> {new_mspt}, "
                 f"tier_frac {settings.tier_frac} -> {new_tier}, "
-                f"a2a rows {settings.a2a_rows} -> {new_a2a}",
+                f"a2a rows {settings.a2a_rows} -> {new_a2a}, "
+                f"expansion {new_expansion}",
                 flush=True,
             )
             # --quiet swallows stdout (reference safe_state semantics), so
@@ -844,12 +903,12 @@ def training(
                 "exchange_dropped": exch_dropped,
                 "max_pairs": new_budget, "max_tiles_per_gauss": new_mt,
                 "max_splats_per_tile": new_mspt, "tier_frac": new_tier,
-                "a2a_rows": new_a2a,
+                "a2a_rows": new_a2a, "expansion": new_expansion,
             })
             settings = dataclasses.replace(
                 settings, max_pairs=new_budget, max_tiles_per_gauss=new_mt,
                 max_splats_per_tile=new_mspt, tier_frac=new_tier,
-                a2a_rows=new_a2a,
+                a2a_rows=new_a2a, expansion=new_expansion,
             )
             cfg = dataclasses.replace(cfg, settings=settings)
             step = None

@@ -96,6 +96,7 @@ def phase_timings(
             s, tiles_x, tiles_y, settings.max_pairs,
             max_tiles_per_gauss=settings.max_tiles_per_gauss,
             tier_frac=settings.tier_frac,
+            expansion=settings.expansion,
         )
         return jnp.sum(b.pair_gauss[::1024]) + jnp.sum(b.tile_start[::64])
 

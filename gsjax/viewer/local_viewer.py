@@ -114,7 +114,7 @@ class LocalViewer:
                  iteration=0, extra_sizes=(), jpeg_quality=88):
         import jax.numpy as jnp
 
-        from gsjax.train.loop import default_rasterize_settings
+        from gsjax.train.loop import probe_rasterize_settings
         from gsjax.train.step import TrainConfig, make_render_fn
 
         self.state = state
@@ -134,7 +134,24 @@ class LocalViewer:
             key = (w, h, int(self.state.capacity))
             with self._lock:
                 if key not in self._fns:
-                    settings = default_rasterize_settings(w, h, key[2])
+                    # probe budgets against the live model from synthetic
+                    # viewpoints at the UI's default and a closer orbit
+                    # distance — trained scenes keep gaussians spanning
+                    # hundreds of tiles, which static default budgets
+                    # would silently drop (darkened renders)
+                    from gsjax.data.cameras import lookat_camera
+
+                    st = self.scene_stats()
+                    c = np.asarray(st["center"])
+                    r = max(st["extent"], 1e-3)
+                    cams = [
+                        lookat_camera(c + [0, -d * r, 0.3 * r], c,
+                                      (0, 0, 1), 1.1, w, h)
+                        for d in (2.2, 1.2)
+                    ]
+                    settings = probe_rasterize_settings(
+                        self.state, cams, w, h
+                    )
                     self._fns[key] = make_render_fn(
                         TrainConfig(settings=settings)
                     )

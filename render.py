@@ -46,7 +46,7 @@ def render_sets(model, iteration, skip_train, skip_test, settings=None):
     """reference render.py:37-49."""
     import jax.numpy as jnp
 
-    from gsjax.train.loop import default_rasterize_settings
+    from gsjax.train.loop import probe_rasterize_settings
     from gsjax.train.scene import Scene
     from gsjax.train.step import TrainConfig, make_render_fn
 
@@ -54,8 +54,11 @@ def render_sets(model, iteration, skip_train, skip_test, settings=None):
     state = scene.gaussians
     cams = scene.get_train_cameras() or scene.get_test_cameras()
     if settings is None and cams:
-        settings = default_rasterize_settings(
-            cams[0].width, cams[0].height, state.capacity
+        # budget-probe against the LOADED model: trained scenes keep
+        # gaussians spanning hundreds of tiles, which the static default
+        # tile cap would silently drop (reference renders never drop)
+        settings = probe_rasterize_settings(
+            state, cams, cams[0].width, cams[0].height
         )
     render_fn = make_render_fn(TrainConfig(settings=settings))
     bg = jnp.full(3, 1.0 if model.white_background else 0.0, jnp.float32)

@@ -10,7 +10,7 @@ scene's native resolution and, optionally, rescaled to 1080p.
 
 Usage:
     python scripts/render_bench.py -m output/synth_garden \
-        [--iteration 30000] [--tier_frac 0.0] [--at_1080p] [--views 8]
+        [--iteration 30000] [--at_1080p] [--views 8]
 """
 
 from __future__ import annotations
@@ -31,7 +31,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model_path", required=True)
     ap.add_argument("--iteration", type=int, default=-1)
-    ap.add_argument("--tier_frac", type=float, default=0.0)
+    ap.add_argument("--tier_frac", type=float, default=None,
+                    help="override the probed tiered-binning fraction")
+    ap.add_argument("--expansion", choices=("grid", "compact"), default=None,
+                    help="override the probed pair-expansion strategy")
     ap.add_argument("--views", type=int, default=8,
                     help="number of test views to cycle through")
     ap.add_argument("--at_1080p", action="store_true",
@@ -43,7 +46,7 @@ def main(argv=None):
 
     from gsjax.configs import ModelParams
     from gsjax.data.cameras import stack_render_cameras
-    from gsjax.train.loop import default_rasterize_settings
+    from gsjax.train.loop import probe_rasterize_settings
     from gsjax.train.scene import Scene
     from gsjax.train.step import TrainConfig, make_render_fn
     from gsjax.utils.profiling import measure_rtt, timed
@@ -80,10 +83,15 @@ def main(argv=None):
                                           fov_y=float(fov_y))
         w, h = 1920, 1080
 
-    settings = default_rasterize_settings(w, h, state.capacity)
-    settings = dataclasses.replace(
-        settings, backend="pallas", tier_frac=args.tier_frac
-    )
+    # budget-probe against the loaded model: static defaults silently drop
+    # the widest trained gaussians' tiles, inflating fps while darkening
+    # renders — the fps claim must come from a drop-free configuration
+    settings = probe_rasterize_settings(state, cams, w, h)
+    settings = dataclasses.replace(settings, backend="pallas")
+    if args.tier_frac is not None:
+        settings = dataclasses.replace(settings, tier_frac=args.tier_frac)
+    if args.expansion is not None:
+        settings = dataclasses.replace(settings, expansion=args.expansion)
     render_fn = make_render_fn(TrainConfig(settings=settings))
     bg = jnp.full(3, 1.0 if model.white_background else 0.0, jnp.float32)
     rcams = stack_render_cameras(cams)
@@ -123,7 +131,10 @@ def main(argv=None):
             "n_gaussians": n_act,
             "n_views": n_views,
             "iteration": scene.loaded_iter,
-            "tier_frac": args.tier_frac,
+            "tier_frac": settings.tier_frac,
+            "expansion": settings.expansion,
+            "max_tiles_per_gauss": settings.max_tiles_per_gauss,
+            "max_pairs": settings.max_pairs,
             "rtt_ms": round(rtt * 1000, 1),
             "device": str(jax.devices()[0]),
         },

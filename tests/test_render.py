@@ -722,3 +722,101 @@ def test_infer_kernel_matches_exact_forward():
     (img_e, T_e), _ = jax.vjp(f, args[6])  # training kernel forward
     np.testing.assert_allclose(np.asarray(img_i), np.asarray(img_e), atol=1e-6)
     np.testing.assert_allclose(np.asarray(T_i), np.asarray(T_e), atol=1e-7)
+
+
+def test_compact_expansion_matches_grid():
+    """The budget-sized compact expansion must reproduce the dense-grid
+    render and gradients exactly (same pairs, same virtual slot ids), with
+    a key sort of max_pairs entries instead of N*mt."""
+    cam, gs = scene()
+    args = full_args(gs)
+    probe = jnp.asarray(np.random.default_rng(23).normal(size=(H, W, 3)))
+    base = RasterizeSettings(max_pairs=1 << 16, max_splats_per_tile=512,
+                             chunk=32)
+    comp = dataclasses.replace(base, expansion="compact")
+    out_g = render(cam, *gs, 3, BG, base,
+                   active_mask=args[5], means2d_offset=args[6])
+    out_c = render(cam, *gs, 3, BG, comp,
+                   active_mask=args[5], means2d_offset=args[6])
+    assert int(out_c["num_dropped"]) == 0
+    assert int(out_c["num_tier_capped"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(out_c["render"]), np.asarray(out_g["render"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_c["final_T"]), np.asarray(out_g["final_T"]), atol=2e-5
+    )
+    # gradients through the pallas backend exercise gauss_inv_perm
+    g_ref = naive_grad()(cam, *args, probe)
+    for mode in ("gather", "sort"):
+        fn = _probe_loss(
+            render,
+            settings=dataclasses.replace(
+                comp, backend="pallas", pallas_chunk=128, grad_reduce=mode
+            ),
+        )
+        g_c = fn(cam, *args, probe)
+        for name, a, b in zip(
+            ["means3d", "scales", "quats", "opacities", "shs", "offset"],
+            g_c, g_ref,
+        ):
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4,
+                err_msg=f"{mode}:{name}",
+            )
+
+
+def test_compact_expansion_wide_gaussian_and_budget():
+    """The compact expansion's motivating case: one near-full-frame
+    gaussian among tiny ones. The grid would need N*mt slots at mt =
+    frame tiles; compact sorts max_pairs entries and matches the
+    unbudgeted grid exactly. Also checks budget overflow accounting."""
+    from gsjax.ops.projection import Splats
+
+    rng = np.random.default_rng(5)
+    n, tiles_x, tiles_y = 64, 8, 8
+    num_tiles = tiles_x * tiles_y
+    # tiny 1-tile gaussians at random tiles + one covering the full frame
+    tx = rng.integers(0, tiles_x, n).astype(np.int32)
+    ty = rng.integers(0, tiles_y, n).astype(np.int32)
+    rect_min = np.stack([tx, ty], axis=1)
+    rect_max = rect_min + 1
+    touched = np.ones(n, np.int32)
+    rect_min[0] = (0, 0)
+    rect_max[0] = (tiles_x, tiles_y)
+    touched[0] = num_tiles
+    splats = Splats(
+        means2d=jnp.zeros((n, 2)), depths=jnp.linspace(1, 2, n),
+        conics=jnp.zeros((n, 3)), colors=jnp.zeros((n, 3)),
+        opacities=jnp.zeros(n), radii=jnp.ones(n, jnp.int32),
+        rect_min=jnp.asarray(rect_min), rect_max=jnp.asarray(rect_max),
+        tiles_touched=jnp.asarray(touched),
+    )
+    mt = 64  # full-frame cap
+    ref = build_tile_bins(splats, tiles_x, tiles_y, max_pairs=1 << 12,
+                          max_tiles_per_gauss=mt)
+    got = build_tile_bins(splats, tiles_x, tiles_y, max_pairs=1 << 12,
+                          max_tiles_per_gauss=mt, expansion="compact")
+    np_pairs = int(ref.num_pairs)
+    assert int(got.num_pairs) == np_pairs == n - 1 + num_tiles
+    assert int(got.num_dropped) == 0
+    # same (tile, gaussian) multiset in depth order per tile
+    for b in (ref, got):
+        assert np.all(np.asarray(b.pair_tile)[:np_pairs] < num_tiles)
+    rg = np.asarray(ref.pair_gauss)[:np_pairs]
+    rt = np.asarray(ref.pair_tile)[:np_pairs]
+    cg = np.asarray(got.pair_gauss)[:np_pairs]
+    ct = np.asarray(got.pair_tile)[:np_pairs]
+    assert sorted(zip(rt.tolist(), rg.tolist())) == sorted(
+        zip(ct.tolist(), cg.tolist())
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.tile_start), np.asarray(got.tile_start)
+    )
+
+    # budget overflow: only the leading budget survives, counted as dropped
+    tight = build_tile_bins(splats, tiles_x, tiles_y, max_pairs=32,
+                            max_tiles_per_gauss=mt, expansion="compact")
+    assert int(tight.num_pairs) == 32
+    assert int(tight.num_dropped) == np_pairs - 32
