@@ -120,6 +120,13 @@ def main():
     # the measured winner (fwd+bwd 292 -> 264 ms at the bench scene)
     ap.add_argument("--grad_dtype", default="bfloat16",
                     choices=("float32", "bfloat16"))
+    # A/B knob for the pair-expansion strategy. "grid" is the measured
+    # winner at this scene's uniform small footprints (compact pays a
+    # max_pairs-row attr gather the grid avoids); "compact" wins when
+    # footprint variance inflates the tile cap (trained scenes — see
+    # evidence/perf/r3_trained_ab.jsonl and gsjax/ops/binning.py).
+    ap.add_argument("--expansion", default="grid",
+                    choices=("grid", "compact"))
     args = ap.parse_args()
 
     xcheck_diff = _backend_cross_check()
@@ -133,12 +140,13 @@ def main():
     rcam = cam.to_render_camera()
     bg = jnp.zeros(3)
     fwd_settings = RasterizeSettings(
-        max_pairs=1 << 22, backend="pallas", tier_frac=args.tier_frac
+        max_pairs=1 << 22, backend="pallas", tier_frac=args.tier_frac,
+        expansion=args.expansion,
     )
     bwd_settings = RasterizeSettings(
         max_pairs=1 << 22, max_splats_per_tile=1024, chunk=32,
         backend="pallas", tier_frac=args.tier_frac,
-        grad_dtype=args.grad_dtype,
+        grad_dtype=args.grad_dtype, expansion=args.expansion,
     )
 
     # measure the host round-trip with a trivial computation
@@ -229,6 +237,7 @@ def main():
             "rtt_ms": round(rtt * 1000, 1),
             "tier_frac": args.tier_frac,
             "grad_dtype": args.grad_dtype,
+            "expansion": args.expansion,
             "device": str(jax.devices()[0]),
             "backend_xcheck_max_diff": round(xcheck_diff, 6),
             "roofline_frac": round(roofline_frac, 4),
