@@ -36,7 +36,8 @@ import os as _os
 import jax as _jax
 
 if (
-    _os.environ.get("GSJAX_NO_PRECISION_OVERRIDE", "0") not in ("1", "true")
+    _os.environ.get("GSJAX_NO_PRECISION_OVERRIDE", "0").strip().lower()
+    not in ("1", "true", "yes", "on")
     and _jax.config.jax_default_matmul_precision is None
 ):
     _jax.config.update("jax_default_matmul_precision", "float32")

@@ -61,7 +61,9 @@ def load_weights(path: Optional[str] = None) -> dict:
             "checkpoints."
         )
     with np.load(path) as z:
-        return {k: jnp.asarray(z[k]) for k in z.files}
+        # cast on load: the committed structure-test artifact stores f16
+        # to halve its git footprint; compute always runs f32
+        return {k: jnp.asarray(z[k], dtype=jnp.float32) for k in z.files}
 
 
 def available(path: Optional[str] = None) -> bool:

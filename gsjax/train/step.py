@@ -97,14 +97,21 @@ def render_state(
     )
 
 
-def make_render_fn(cfg: TrainConfig):
+def make_render_fn(cfg: TrainConfig, with_stats: bool = False):
     """A jitted (state, camera, bg) -> image function for eval/viewer use.
 
     ``scale_modifier`` is a traced scalar (the viewer slider changes it per
     request without recompiling); the ``shs_python`` / ``cov3d_python``
     dual-path toggles are static — each combination compiles once on first
     use, matching the reference's live ``pipe`` mutation from the wire
-    message (reference train.py:57-60, network_gui.py:70-73)."""
+    message (reference train.py:57-60, network_gui.py:70-73).
+
+    ``with_stats=True`` returns ``(image, num_dropped)`` instead — the
+    pair-drop counter inference callers (render.py, render_bench.py) must
+    check: the trainer reacts to overflow and regrows budgets, inference
+    has no reaction, so an unprobed view exceeding the probe headroom
+    would otherwise silently darken renders (ADVICE r3 medium #2; the
+    reference CUDA rasterizer allocates per frame and never drops)."""
 
     @functools.partial(
         jax.jit, static_argnames=("shs_python", "cov3d_python")
@@ -134,7 +141,7 @@ def make_render_fn(cfg: TrainConfig):
             colors = jnp.maximum(
                 eval_sh(shs, dirs, state.active_sh_degree) + 0.5, 0.0
             )
-        return render(
+        out = render(
             camera,
             means3d,
             scales,
@@ -148,7 +155,10 @@ def make_render_fn(cfg: TrainConfig):
             active_mask=state.active,
             cov3d_precomp=cov3d,
             colors_precomp=colors,
-        )["render"]
+        )
+        if with_stats:
+            return out["render"], out["num_dropped"]
+        return out["render"]
 
     return render_fn
 

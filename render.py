@@ -28,9 +28,18 @@ def render_set(model_path, name, iteration, cameras, render_fn, state, bg):
     os.makedirs(render_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
 
+    total_dropped = 0
     for idx, cam in enumerate(cameras):
-        img = render_fn(state, cam.to_render_camera(), bg)
+        img, dropped = render_fn(state, cam.to_render_camera(), bg)
         img = np.asarray(jnp.clip(img, 0.0, 1.0))
+        dropped = int(dropped)
+        if dropped > 0:
+            print(
+                f"WARNING: view {idx}: {dropped} pairs dropped (budget "
+                "overflow) — render may be darkened; re-probe or raise "
+                "max_pairs/max_tiles_per_gauss"
+            )
+        total_dropped += dropped
         gt = np.clip(np.asarray(cam.image), 0.0, 1.0)
         if cam.alpha_mask is not None:
             gt = gt * np.asarray(cam.alpha_mask)[..., None]
@@ -40,6 +49,7 @@ def render_set(model_path, name, iteration, cameras, render_fn, state, bg):
         Image.fromarray((gt * 255 + 0.5).astype(np.uint8)).save(
             os.path.join(gt_dir, f"{idx:05d}.png")
         )
+    return total_dropped
 
 
 def render_sets(model, iteration, skip_train, skip_test, settings=None):
@@ -60,19 +70,26 @@ def render_sets(model, iteration, skip_train, skip_test, settings=None):
         settings = probe_rasterize_settings(
             state, cams, cams[0].width, cams[0].height
         )
-    render_fn = make_render_fn(TrainConfig(settings=settings))
+    render_fn = make_render_fn(TrainConfig(settings=settings), with_stats=True)
     bg = jnp.full(3, 1.0 if model.white_background else 0.0, jnp.float32)
 
+    total_dropped = 0
     if not skip_train:
-        render_set(
+        total_dropped += render_set(
             model.model_path, "train", scene.loaded_iter,
             scene.get_train_cameras(), render_fn, state, bg,
         )
     if not skip_test:
-        render_set(
+        total_dropped += render_set(
             model.model_path, "test", scene.loaded_iter,
             scene.get_test_cameras(), render_fn, state, bg,
         )
+    if total_dropped > 0:
+        print(
+            f"WARNING: {total_dropped} pairs dropped across all views — "
+            "some renders are not faithful to the model"
+        )
+    return total_dropped
 
 
 def main(argv=None):

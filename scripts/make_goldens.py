@@ -91,6 +91,21 @@ def golden_case(seed, n, width, height, log_scale, fov_x=0.9):
         "opacities": opac, "shs": shs, "bg": bg, "wimg": wimg,
         "fov_x": np.float32(fov_x),
         "width": np.int32(width), "height": np.int32(height),
+        # camera matrices in the reference's transposed (row-vector / glm)
+        # convention, so an external verifier needs NO gsjax imports to
+        # build GaussianRasterizationSettings (reference
+        # gaussian_renderer/__init__.py:36-49)
+        "viewmatrix": np.asarray(rcam.world_view, np.float32),
+        "projmatrix": np.asarray(rcam.full_proj, np.float32),
+        "campos": np.asarray(rcam.camera_center, np.float32),
+        "tan_fovx": np.float32(rcam.tan_fov_x),
+        "tan_fovy": np.float32(rcam.tan_fov_y),
+        "sh_degree": np.int32(3),
+        # tolerances an external (CUDA) verification should apply: float
+        # reassociation across implementations, same budget as the live
+        # pallas/xla cross-check in bench.py
+        "tol_img": np.float32(5e-3),
+        "tol_grad_rel": np.float32(5e-3),
         "render": np.asarray(out["render"]),
         "final_T": np.asarray(out["final_T"]),
         "radii": np.asarray(out["radii"]),
@@ -110,11 +125,114 @@ CASES = [
 ]
 
 
+def verify_external(out_dir):
+    """Feed the committed golden inputs through the UPSTREAM CUDA
+    rasterizer (graphdeco-inria/diff-gaussian-rasterization) and compare
+    against the committed expectations — the one-command procedure that
+    closes the cross-implementation gap the day a CUDA box exists
+    (VERDICT r3 missing #5 / next-round #9).
+
+    Run on a CUDA machine with the upstream wheel installed:
+        pip install git+https://github.com/graphdeco-inria/diff-gaussian-rasterization
+        python scripts/make_goldens.py --verify-external
+
+    Needs ONLY numpy + torch + the wheel (no gsjax imports): every input,
+    camera matrix, expected output, and tolerance is inside each npz.
+    """
+    import glob
+
+    import torch
+    from diff_gaussian_rasterization import (
+        GaussianRasterizationSettings, GaussianRasterizer,
+    )
+
+    dev = torch.device("cuda")
+    failures = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "*.npz"))):
+        z = np.load(path)
+        t = lambda a, g=False: torch.tensor(  # noqa: E731
+            np.asarray(a), device=dev, dtype=torch.float32, requires_grad=g
+        )
+        means3d = t(z["means3d"], g=True)
+        scales = t(z["scales"], g=True)
+        quats = t(z["quats"], g=True)
+        opac = t(z["opacities"], g=True)
+        shs = t(z["shs"], g=True)
+        means2d = torch.zeros_like(means3d, requires_grad=True)
+        means2d.retain_grad()
+        settings = GaussianRasterizationSettings(
+            image_height=int(z["height"]), image_width=int(z["width"]),
+            tanfovx=float(z["tan_fovx"]), tanfovy=float(z["tan_fovy"]),
+            bg=t(z["bg"]), scale_modifier=1.0,
+            viewmatrix=t(z["viewmatrix"]), projmatrix=t(z["projmatrix"]),
+            sh_degree=int(z["sh_degree"]), campos=t(z["campos"]),
+            prefiltered=False, debug=False,
+        )
+        rast = GaussianRasterizer(raster_settings=settings)
+        img, radii = rast(
+            means3D=means3d, means2D=means2d, shs=shs, opacities=opac,
+            scales=scales, rotations=quats,
+        )
+        # golden render is (H, W, 3); CUDA returns (3, H, W)
+        img_hwc = img.permute(1, 2, 0)
+        wimg = t(z["wimg"])
+        loss = (img_hwc * wimg).sum()
+        loss.backward()
+
+        name = os.path.basename(path)
+        tol_img = float(z["tol_img"])
+        tol_rel = float(z["tol_grad_rel"])
+        d_img = (img_hwc.detach().cpu().numpy() - z["render"]).__abs__().max()
+        ok = d_img <= tol_img
+        print(f"{name}: image max|diff| {d_img:.2e} "
+              f"({'OK' if ok else 'FAIL'} vs {tol_img})")
+        if not ok:
+            failures.append(f"{name}:image")
+        for key, g in (
+            ("g_means3d", means3d.grad), ("g_scales", scales.grad),
+            ("g_quats", quats.grad), ("g_opacities", opac.grad),
+            ("g_shs", shs.grad),
+            # reference surfaces screen-space mean grads via the zero
+            # tensor's retained grad, [:, :2] (scene/gaussian_model.py:406)
+            ("g_means2d", means2d.grad[:, :2] if means2d.grad is not None
+             else None),
+        ):
+            if g is None:
+                print(f"{name}: {key} missing grad — FAIL")
+                failures.append(f"{name}:{key}")
+                continue
+            got = g.detach().cpu().numpy()
+            want = z[key]
+            scale = max(float(np.abs(want).max()), 1.0)
+            d = float(np.abs(got - want).max())
+            ok = d <= tol_rel * scale
+            print(f"{name}: {key} max|diff| {d:.2e} "
+                  f"({'OK' if ok else 'FAIL'} vs {tol_rel}*{scale:.2e})")
+            if not ok:
+                failures.append(f"{name}:{key}")
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all goldens verified against the CUDA rasterizer")
+    return 0
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--verify-external", action="store_true",
+                    help="verify committed goldens against the upstream "
+                         "CUDA rasterizer (requires a CUDA box with the "
+                         "diff-gaussian-rasterization wheel)")
+    args = ap.parse_args()
+
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "evidence", "goldens",
     )
+    if args.verify_external:
+        return verify_external(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     try:
         git = subprocess.run(
@@ -132,4 +250,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
