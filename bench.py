@@ -191,14 +191,16 @@ def main():
     # the measured winner (fwd+bwd 292 -> 264 ms at the bench scene)
     ap.add_argument("--grad_dtype", default="bfloat16",
                     choices=("float32", "bfloat16"))
-    # A/B knob for the pair-expansion strategy. "grid" is the measured
-    # winner at this scene's uniform small footprints (compact pays a
-    # max_pairs-row attr gather the grid avoids); "compact" wins when
-    # footprint variance inflates the tile cap (trained scenes — see
-    # evidence/perf/r3_trained_ab.jsonl and gsjax/ops/binning.py).
-    ap.add_argument("--expansion", default="grid",
+    # A/B knob for the pair-expansion strategy. Round-4 measurements
+    # (evidence/perf/r4_ab.jsonl, snug stage) flipped the default to
+    # "compact" + a snug pair budget: compact's key sort is max_pairs
+    # entries regardless of footprints, so the probe-sized budget shrinks
+    # it directly — 102.5ms (grid t.875 @1<<22) -> 92.3ms. The budget
+    # mirrors what probe_rasterize_settings picks on real scenes: the
+    # scene's ~3.33M real pairs x 1.06, 64k-aligned.
+    ap.add_argument("--expansion", default="compact",
                     choices=("grid", "compact"))
-    ap.add_argument("--max_pairs", type=int, default=1 << 22)
+    ap.add_argument("--max_pairs", type=int, default=3_538_944)
     # phase/roofline probes cost ~5 extra remote compiles; evidence/
     # captures them out-of-band, the driver run must not pay for them
     ap.add_argument("--roofline", action="store_true")

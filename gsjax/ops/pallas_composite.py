@@ -231,6 +231,15 @@ def _composite_kernel(
     chunk,
     tiles_x,
 ):
+    # NOTE (round-4 negative result, measured on-chip): moving the
+    # per-pixel carries (logT, done, ncon) into VMEM scratch refs and
+    # replacing their VPU lane reductions with lane slices of the already-
+    # computed triangular matmuls (+10ms fwd) or MXU matvecs against a
+    # ones column (+17ms fwd) both LOST to the plain carried reductions —
+    # the kernels' MXU budget is already saturated by the prefix-sum
+    # matmuls, and Mosaic relayouts around scratch-resident state cost
+    # more than the log2(chunk) shuffle-add reductions they replace
+    # (evidence/perf/r4_ab.jsonl, snug stage: 92.3 -> 102.5 -> 109.2 ms).
     t = pl.program_id(0)
     start = tile_start_ref[t]
     end = tile_start_ref[t + 1]
@@ -333,7 +342,8 @@ def _composite_kernel(
         )
 
         # carried scalars use VPU reductions (replicated layout — an MXU
-        # matvec output can't ride a while carry)
+        # matvec output can't ride a while carry; see the round-4 note in
+        # the kernel header before "optimizing" these again)
         logT = logT + jnp.sum(lg_eff, axis=1, keepdims=True)
         done = jnp.maximum(done, jnp.max(trip, axis=1, keepdims=True))
         all_done = (jnp.sum(done) >= PIX).astype(jnp.int32)
@@ -740,7 +750,8 @@ def _composite_bwd_kernel(
         out_dma(slot, ci).start()
 
         # lane reductions keep (PIX, 1) carries lane-replicated (VPU —
-        # MXU matvec outputs can't ride fori carries, see _pix_sum)
+        # MXU matvec outputs can't ride fori carries, see _pix_sum and the
+        # round-4 negative result in _composite_kernel's header)
         logTrec = logTrec - jnp.sum(lr, axis=1, keepdims=True)
         S = S + jnp.sum(q, axis=1, keepdims=True)
         return logTrec, S
@@ -758,6 +769,20 @@ def _composite_bwd_kernel(
     @pl.when(n_bwd >= 2)
     def _():
         out_dma((n_bwd - 2) % 2, 1).wait()
+
+
+def _blocked_cumsum_1d(x, block: int = 4096):
+    """Inclusive cumulative sum of a 1-D array, two-level."""
+    n = x.shape[0]
+    while block > 128 and n % block:
+        block //= 2
+    if n % block:
+        return jnp.cumsum(x)
+    rows = x.reshape(n // block, block)
+    within = jnp.cumsum(rows, axis=1)
+    carry = jnp.cumsum(within[:, -1])
+    carry = jnp.concatenate([jnp.zeros((1,), x.dtype), carry[:-1]])
+    return (within + carry[:, None]).reshape(n)
 
 
 def _blocked_cumsum_rows(x, block: int = 4096):
@@ -907,15 +932,16 @@ def composite_pallas_grads(
             cols.append((out[1 + i] >> 16).astype(jnp.uint16))
             cols.append((out[1 + i] & 0xFFFF).astype(jnp.uint16))
         cols.append(out[5].astype(jnp.uint16))
-        grads_slot = jnp.stack(
-            [
-                jax.lax.bitcast_convert_type(c, jnp.bfloat16).astype(
-                    jnp.float32
-                )
-                for c in cols
-            ],
-            axis=-1,
-        )
+        cols_f = [
+            jax.lax.bitcast_convert_type(c, jnp.bfloat16).astype(jnp.float32)
+            for c in cols
+        ]
+        # 8-wide table + separate 1-D column: a (L, 9) f32 table is
+        # sublane-padded 9 -> 16 (1.78x HBM bytes) and the boundary gather
+        # below is in the slow >200MB gather zone at bench scale; (L, 8)
+        # pads nothing and the ninth column gathers from a 1-D array
+        grads8 = jnp.stack(cols_f[:8], axis=-1)
+        grads1 = cols_f[8]
         # sentinel keys (u32 max) sort last; reconstruct the i32 slot view
         # the segment logic expects (valid slots < 2^31)
         slot_sorted = jnp.where(
@@ -949,7 +975,9 @@ def composite_pallas_grads(
             num_keys=1, is_stable=False,
         )
         slot_sorted = sorted_a[0]
-        grads_slot = jnp.stack(sorted_a[1:] + sorted_b[1:], axis=-1)
+        payload = tuple(sorted_a[1:]) + tuple(sorted_b[1:])
+        grads8 = jnp.stack(payload[:8], axis=-1)  # see bf16 branch note
+        grads1 = payload[8]
     else:
         # gather mode: order pairs by their dense (g * mt + j) slot with
         # one cheap i32 sort (padded positions ride along as the payload),
@@ -957,10 +985,11 @@ def composite_pallas_grads(
         # map sorted pair i (tile t) to its padded slot: i + shift[t], with
         # shift[t] = padded_start[t] - win[t] (nondecreasing in t)
         grads_rows = (
-            grads_padded[:, :grad_w, :]
+            grads_padded[:, :8, :]
             .transpose(0, 2, 1)
-            .reshape(p_pad, grad_w)
+            .reshape(p_pad, 8)
         )
+        grads_row9 = grads_padded[:, 8, :].reshape(p_pad)
         shift = padded_start[:num_t] - win
         count = end - start
         starts_fill = jnp.where(count > 0, start, max_pairs)
@@ -976,13 +1005,16 @@ def composite_pallas_grads(
         slot_sorted, perm = jax.lax.sort(
             (slot_key, padded_pos), num_keys=1, is_stable=True
         )
-        grads_slot = grads_rows[perm]  # (P, 9) one natural-layout row gather
-        grads_slot = grads_slot.astype(jnp.float32)  # accumulate in f32
+        grads8 = grads_rows[perm].astype(jnp.float32)  # (P, 8) row gather
+        grads1 = grads_row9[perm].astype(jnp.float32)
 
-    sorted_len = grads_slot.shape[0]  # max_pairs (gather) or p_pad (sort)
-    csum = _blocked_cumsum_rows(grads_slot)  # inclusive (L, 9)
-    csum = jnp.concatenate(
-        [jnp.zeros((1, grad_w), jnp.float32), csum], axis=0
+    sorted_len = grads8.shape[0]  # max_pairs (gather) or p_pad (sort)
+    csum8 = _blocked_cumsum_rows(grads8)  # inclusive (L, 8)
+    csum8 = jnp.concatenate(
+        [jnp.zeros((1, 8), jnp.float32), csum8], axis=0
+    )
+    csum1 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), _blocked_cumsum_1d(grads1)]
     )
 
     # per-gaussian segment boundaries in slot-sorted order. Common case
@@ -1010,8 +1042,11 @@ def composite_pallas_grads(
     # segment is [lo[i], lo[i+1]) so one monotone (N+1)-row gather of the
     # cumulative sums yields every boundary (hi[i] == lo[i+1])
     loc = jnp.minimum(lo, num_valid)  # (N + 1,) nondecreasing
-    cl = csum[loc]
-    per_gauss = cl[1:] - cl[:-1]  # (N, 9), row (slot) order
+    cl8 = csum8[loc]  # (N + 1, 8) monotone row gather, 8-exact sublanes
+    cl1 = csum1[loc]  # (N + 1,) 1-D gather
+    per_gauss = jnp.concatenate(
+        [cl8[1:] - cl8[:-1], (cl1[1:] - cl1[:-1])[:, None]], axis=1
+    )  # (N, 9), row (slot) order
     if gauss_inv_perm is not None:
         # tiered binning: rows are in tile-count-sorted order; one (N, 9)
         # gather maps original gaussian i to its row inv_perm[i]

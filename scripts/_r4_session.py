@@ -132,6 +132,94 @@ def main():
             log({"stage": "probe", "cfg": f"mp{mp}",
                  "ms": round(t * 1e3, 1), "fps": round(1 / t, 2)})
 
+    if "snug" in stages:
+        # the combined candidate default: compact expansion + snug budget
+        # (compact's key sort is max_pairs entries, so the snug budget
+        # shrinks it directly — grid's N*mt_mix sort doesn't care)
+        for tag, s in (
+            ("compact_snug", RasterizeSettings(
+                max_pairs=3_538_944, backend="pallas", tier_frac=0.0,
+                expansion="compact")),
+            ("grid_snug", RasterizeSettings(
+                max_pairs=3_538_944, backend="pallas", tier_frac=0.875,
+                expansion="grid")),
+        ):
+            def fwd(eps, _s=s):
+                pp = dict(state.params)
+                pp["xyz"] = pp["xyz"] + eps
+                st = dataclasses.replace(state, params=pp)
+                img = render_state(st, rcam, bg, _s)["render"]
+                return jnp.sum(img[::64, ::64])
+
+            t = timed(jax.jit(fwd), rtt=rtt)
+            log({"stage": "snug", "cfg": tag,
+                 "ms": round(t * 1e3, 1), "fps": round(1 / t, 2)})
+
+            def fwdbwd(eps, _s=s):
+                pp = dict(state.params)
+                pp["xyz"] = pp["xyz"] + eps
+                st = dataclasses.replace(state, params=pp)
+
+                def loss(p2):
+                    st2 = dataclasses.replace(st, params=p2)
+                    img = render_state(st2, rcam, bg, _s)["render"]
+                    return jnp.sum(img * img)
+
+                g = jax.grad(loss)(pp)
+                return sum(jnp.sum(v[::257]) for v in g.values())
+
+            t = timed(jax.jit(fwdbwd), rtt=rtt)
+            log({"stage": "snug", "cfg": tag + "_fwdbwd",
+                 "ms": round(t * 1e3, 1), "fps": round(1 / t, 2)})
+
+    if "sort" in stages:
+        # lax.sort throughput ceilings at the bench shapes — the honest
+        # denominator for the binning phase of the roofline (VERDICT r3
+        # next-round item 5): binning can't beat the sort primitive it is
+        # built on.
+        key = jax.random.PRNGKey(1)
+        for n_rows, n_pay, tag in (
+            (3_538_944, 2, "3.5Mx3ops"),
+            (3_538_944, 5, "3.5Mx6ops"),
+            (1_000_000, 5, "1Mx6ops"),
+        ):
+            k = jax.random.randint(key, (n_rows,), 0, 1 << 30, jnp.int32)
+            pays = [jnp.arange(n_rows, dtype=jnp.int32)] * n_pay
+
+            def srt(eps, _k=k, _p=pays):
+                kk = _k + eps.astype(jnp.int32)
+                out = jax.lax.sort((kk, *_p), num_keys=1, is_stable=False)
+                return jnp.sum(out[0][::4096]) + jnp.sum(out[1][::4096])
+
+            t = timed(jax.jit(srt), rtt=rtt)
+            log({"stage": "sort", "cfg": tag, "rows": n_rows,
+                 "ms": round(t * 1e3, 2),
+                 "mrows_s": round(n_rows / t / 1e6, 1)})
+
+    if "chunk" in stages:
+        # pallas_chunk 128 vs 256: halves the per-chunk loop/DMA skeleton
+        # (~0.4us x 26k iterations measured round 1) IF the doubled lane
+        # width doesn't spill vregs (the 2-chunk unroll did)
+        for pc in (128, 256):
+            s = RasterizeSettings(
+                max_pairs=3_538_944, backend="pallas", tier_frac=0.875,
+                expansion="grid", pallas_chunk=pc)
+
+            def fwd(eps, _s=s):
+                pp = dict(state.params)
+                pp["xyz"] = pp["xyz"] + eps
+                st = dataclasses.replace(state, params=pp)
+                img = render_state(st, rcam, bg, _s)["render"]
+                return jnp.sum(img[::64, ::64])
+
+            try:
+                t = timed(jax.jit(fwd), rtt=rtt)
+            except Exception as e:  # noqa: BLE001 — log and keep measuring
+                log({"stage": "chunk", "cfg": f"pc{pc}", "error": str(e)[:200]})
+                continue
+            log({"stage": "chunk", "cfg": f"pc{pc}",
+                 "ms": round(t * 1e3, 1), "fps": round(1 / t, 2)})
+
     log({"stage": "done"})
 
 
