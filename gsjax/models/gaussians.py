@@ -30,6 +30,7 @@ import numpy as np
 from gsjax.data.ply import read_ply, write_ply
 from gsjax.utils.math import inverse_sigmoid
 from gsjax.utils.sh import num_sh_coeffs, rgb_to_sh
+from gsjax.utils.system import to_device_chunked
 
 Params = Dict[str, jax.Array]
 
@@ -80,8 +81,13 @@ def activated(state: GaussianState):
 
 
 def _pad(a, capacity):
+    # pad on DEVICE (the array is usually already there) and transfer
+    # chunked otherwise: a growth at 2M gaussians pads a ~360MB f_rest,
+    # which as one host transfer 413s the remote-compile endpoint
+    if not isinstance(a, jax.Array):
+        a = to_device_chunked(np.asarray(a))
     pad = [(0, capacity - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-    return jnp.asarray(np.pad(np.asarray(a), pad))
+    return jnp.pad(a, pad)
 
 
 def knn_mean_sq_dist(points: np.ndarray, k: int = 3) -> np.ndarray:
@@ -241,7 +247,9 @@ def load_gaussian_ply(
         ("rotation", rotation),
         ("opacity", opacity),
     ]:
-        p[key] = p[key].at[:n].set(arr.astype(np.float32))
+        # chunked device transfer: a 2M-gaussian f_rest is ~360MB, which
+        # as a single eager-op operand 413s the remote-compile endpoint
+        p[key] = p[key].at[:n].set(to_device_chunked(arr.astype(np.float32)))
     return dataclasses.replace(
         state,
         params=p,

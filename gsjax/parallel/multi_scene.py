@@ -25,6 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gsjax.models.gaussians import GaussianState
 from gsjax.train.step import TrainConfig, _train_step_body
+from gsjax.utils.system import to_device_chunked
 
 
 def make_scene_mesh(n_scenes: int, devices=None) -> Mesh:
@@ -65,7 +66,7 @@ def make_multi_scene_train_step(
         (states, opt_states, metrics with leading scene axis)
     """
     bg_color = jnp.full(3, 1.0 if cfg.white_background else 0.0, jnp.float32)
-    images = jnp.asarray(images)
+    images = to_device_chunked(images)
 
     @functools.partial(
         shard_map,
@@ -115,7 +116,7 @@ def make_multi_scene_train_step_chained(
         (states, opt_states, last-step metrics + "loss_mean", scene axis)
     """
     bg_color = jnp.full(3, 1.0 if cfg.white_background else 0.0, jnp.float32)
-    images = jnp.asarray(images)
+    images = to_device_chunked(images)
 
     @functools.partial(
         shard_map,

@@ -43,6 +43,7 @@ from gsjax.ops.composite import assemble_image, composite_tiles
 from gsjax.ops.projection import TILE, num_tiles, preprocess
 from gsjax.ops.rasterize import RasterizeSettings
 from gsjax.train.loss import _window
+from gsjax.utils.system import to_device_chunked
 
 
 def _cdiv(a, b):
@@ -400,7 +401,7 @@ def make_sharded_train_step(
     strips shard over ``gauss``.
     """
     impl = _make_sharded_step_impl(tx, mesh, cameras, cfg)
-    images = jnp.asarray(images)
+    images = to_device_chunked(images)
     jimpl = jax.jit(impl)
 
     # cameras/images go in as ARGUMENTS: multi-process global arrays may
@@ -428,7 +429,7 @@ def make_sharded_train_step_chained(
         (state, opt_state, last-step metrics + "loss_mean")
     """
     impl = _make_sharded_step_impl(tx, mesh, cameras, cfg)
-    images = jnp.asarray(images)
+    images = to_device_chunked(images)
 
     def chained_impl(state, opt_state, cam_idxs, key, cams, images_arg):
         def body(carry, x):

@@ -43,6 +43,7 @@ from gsjax.models.gaussians import GaussianState, activated
 from gsjax.ops.rasterize import RasterizeSettings, render
 from gsjax.train.loss import l1_loss, ssim
 from gsjax.train.optim import adam_moments, with_adam_moments
+from gsjax.utils.system import to_device_chunked
 
 
 @dataclasses.dataclass(frozen=True)
@@ -269,7 +270,7 @@ def make_train_step(
     Omitting it compiles the select-free graph.
     """
     bg_color = jnp.full(3, 1.0 if cfg.white_background else 0.0, jnp.float32)
-    images = jnp.asarray(images)
+    images = to_device_chunked(images)
 
     @jax.jit
     def step(state: GaussianState, opt_state, cam_idx, key, apply_update=None):
@@ -300,7 +301,7 @@ def make_train_step_chained(
         (state, opt_state, metrics of last step + "loss_mean")
     """
     bg_color = jnp.full(3, 1.0 if cfg.white_background else 0.0, jnp.float32)
-    images = jnp.asarray(images)
+    images = to_device_chunked(images)
 
     @jax.jit
     def chained(state: GaussianState, opt_state, cam_idxs, key):

@@ -52,3 +52,28 @@ def safe_state(quiet: bool = False, seed: int = 0):
     sys.stdout = F()
     random.seed(seed)
     np.random.seed(seed)
+
+
+def to_device_chunked(x, max_bytes: int = 96 << 20):
+    """Host -> device transfer in bounded slices along axis 0.
+
+    A single large transfer through the remote-device tunnel rides the
+    compile endpoint's HTTP payload (rejected with 413 above ~256MB) and
+    a ~300MB device_put can wedge the remote worker outright; slicing the
+    transfer sidesteps both. No-op cheap for small arrays and for values
+    that are already on device.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if isinstance(x, jax.Array):
+        return x
+    x = np.ascontiguousarray(x)
+    if x.nbytes <= max_bytes or x.ndim == 0 or x.shape[0] <= 1:
+        return jnp.asarray(x)
+    rows = max(1, int(max_bytes // max(x.nbytes / x.shape[0], 1)))
+    return jnp.concatenate(
+        [jnp.asarray(x[i:i + rows]) for i in range(0, x.shape[0], rows)],
+        axis=0,
+    )

@@ -196,6 +196,121 @@ def main():
                  "ms": round(t * 1e3, 2),
                  "mrows_s": round(n_rows / t / 1e6, 1)})
 
+    if "vpu" in stages:
+        # speed-of-light for the compositing kernels: same grid + DMA
+        # skeleton (one program per tile, double-buffered chunk DMAs over
+        # the pair table), K full-width (PIX, chunk) elementwise passes of
+        # real math per chunk. Sweeping K gives ns/pass (slope) and the
+        # loop/DMA skeleton floor (intercept) — the honest attainable-time
+        # model for a kernel that needs N passes.
+        import functools
+
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from gsjax.ops.binning import build_tile_bins
+        from gsjax.ops.pallas_composite import ATTR_W, PIX
+        from gsjax.ops.projection import num_tiles, preprocess
+        from gsjax.ops.rasterize import RasterizeSettings as RS
+
+        s = RS(max_pairs=3_538_944, backend="pallas", expansion="compact")
+        tiles_x, tiles_y = num_tiles(1920, 1080)
+
+        @jax.jit
+        def make_inputs(eps):
+            sp = preprocess(
+                state.params["xyz"] + eps,
+                jnp.exp(state.params["scaling"]),
+                state.params["rotation"],
+                jax.nn.sigmoid(state.params["opacity"][:, 0]),
+                jnp.zeros((state.capacity, 16, 3), jnp.float32),
+                rcam, 0, active_mask=state.active,
+            )
+            b = build_tile_bins(sp, tiles_x, tiles_y, s.max_pairs,
+                                max_tiles_per_gauss=s.max_tiles_per_gauss,
+                                expansion="compact")
+            p = b.pair_gauss.shape[0]
+            pad = (-p) % 128 + 128
+            tbl = jnp.zeros(((p + pad) // 128, ATTR_W, 128), jnp.float32)
+            return b.tile_start, tbl
+
+        tile_start, tbl = jax.block_until_ready(make_inputs(jnp.float32(0)))
+
+        def sol_kernel(tile_start_ref, tbl_hbm, out_ref, buf, sems, *, k_ops):
+            t = pl.program_id(0)
+            start = tile_start_ref[t]
+            end = tile_start_ref[t + 1]
+            win = (start // 128) * 128
+            nch = pl.cdiv(end - win, 128)
+
+            def dma(slot, ci):
+                return pltpu.make_async_copy(
+                    tbl_hbm.at[win // 128 + ci], buf.at[slot], sems.at[slot]
+                )
+
+            @pl.when(nch > 0)
+            def _():
+                dma(0, 0).start()
+
+            def body(ci, carry):
+                @pl.when(ci + 1 < nch)
+                def _():
+                    dma((ci + 1) % 2, ci + 1).start()
+
+                dma(ci % 2, ci).wait()
+                row = buf[ci % 2, 0:1, :]
+                x = carry + row  # (PIX, 128) broadcast
+                for j in range(k_ops):
+                    # distinct constants per op so nothing folds
+                    x = x * 1.0000001 + (0.3 + j * 1e-7)
+                return x
+
+            acc = jax.lax.fori_loop(
+                0, nch, body, jnp.zeros((PIX, 128), jnp.float32)
+            )
+            out_ref[0] = jnp.sum(acc, axis=1, keepdims=True).T
+
+        for k_ops in (4, 40):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(tiles_x * tiles_y,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+                out_specs=pl.BlockSpec(
+                    (1, 1, PIX), lambda t, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((2, ATTR_W, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
+
+            def run(eps, ts, tb, _k=k_ops, _gs=grid_spec):
+                # eps rides the (tiny) tile_start operand for the timing
+                # data dependence; a full-table perturbation would cost
+                # ~0.5ms of HBM traffic per sample
+                ts = jnp.concatenate([
+                    ts[:1] + (eps * 1e-9).astype(jnp.int32), ts[1:]
+                ])
+                out = pl.pallas_call(
+                    functools.partial(sol_kernel, k_ops=_k),
+                    grid_spec=_gs,
+                    out_shape=jax.ShapeDtypeStruct(
+                        (tiles_x * tiles_y, 1, PIX), jnp.float32),
+                    interpret=False,
+                )(ts, tb)
+                return jnp.sum(out[::64])
+
+            runj = jax.jit(run)
+            try:
+                t = timed(lambda eps: runj(eps, tile_start, tbl), rtt=rtt)
+            except Exception as e:  # noqa: BLE001 — log and keep measuring
+                log({"stage": "vpu", "cfg": f"k{k_ops}",
+                     "error": str(e)[:200]})
+                continue
+            log({"stage": "vpu", "cfg": f"k{k_ops}",
+                 "ms": round(t * 1e3, 2)})
+
     if "chunk" in stages:
         # pallas_chunk 128 vs 256: halves the per-chunk loop/DMA skeleton
         # (~0.4us x 26k iterations measured round 1) IF the doubled lane

@@ -383,17 +383,33 @@ def main(argv=None):
         max_splats_per_tile=2048, chunk=32,
         max_tiles_per_gauss=32,
     )
+
+    def _dev(x, max_bytes=96 << 20):
+        """Chunked host->device transfer: a single large device_put can
+        wedge the remote worker, and capturing host arrays in a jit
+        closure ships them as compile-payload constants (HTTP 413 from
+        the remote-compile endpoint at garden1m scale)."""
+        x = np.ascontiguousarray(x)
+        if x.nbytes <= max_bytes:
+            return jnp.asarray(x)
+        rows = max(1, int(max_bytes // (x.nbytes / len(x))))
+        return jnp.concatenate(
+            [jnp.asarray(x[i:i + rows]) for i in range(0, len(x), rows)],
+            axis=0,
+        )
+
     margs = (
-        jnp.asarray(pts), jnp.asarray(scales), jnp.asarray(quats),
-        jnp.asarray(opac), jnp.asarray(shs),
+        _dev(pts), _dev(scales), _dev(quats), _dev(opac), _dev(shs),
     )
     bg = jnp.zeros(3)
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnums=())
-    def render_one(cam_arrays):
-        return render(cam_arrays, *margs, 3, bg, settings)["render"]
+    # model arrays are jit ARGUMENTS (device-resident), never closure
+    # constants — see _dev
+    @jax.jit
+    def render_one(cam_arrays, mpts, mscales, mquats, mopac, mshs):
+        return render(
+            cam_arrays, mpts, mscales, mquats, mopac, mshs, 3, bg, settings
+        )["render"]
 
     img_dir = os.path.join(args.out_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
@@ -401,7 +417,7 @@ def main(argv=None):
 
     t0 = time.time()
     for i, cam in enumerate(cams):
-        out = render_one(cam.to_render_camera())
+        out = render_one(cam.to_render_camera(), *margs)
         img = np.clip(np.asarray(out), 0, 1)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(img_dir, cam.image_name)

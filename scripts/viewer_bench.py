@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Drive the local viewer (view.py / gsjax.viewer.local_viewer) over HTTP
+exactly like an interactive client and log per-frame latency.
+
+The reference's real-time viewer claim ("SIBR_gaussianViewer_app ...
+renders trained models in real time", README.md:296-302, >=30fps@1080p
+README.md:14) has no scripted harness; this is ours: start the HTTP
+viewer on a trained model, orbit the camera through `--frames` distinct
+viewpoints (each a fresh /render request, JPEG-encoded server-side like a
+real browser session), and report the latency distribution.
+
+    python scripts/viewer_bench.py -m output/eval_r4/garden1m \
+        [--width 1920 --height 1080] [--frames 60] > viewer_frametimes.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model_path", required=True)
+    ap.add_argument("--iteration", type=int, default=-1)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--radius", type=float, default=7.0)
+    ap.add_argument("--port", type=int, default=18931)
+    args = ap.parse_args()
+
+    from gsjax.viewer.local_viewer import viewer_from_model
+
+    viewer = viewer_from_model(
+        args.model_path, iteration=args.iteration, port=args.port
+    )
+    viewer.start()
+    stats = viewer.scene_stats()
+    base = f"http://127.0.0.1:{args.port}"
+
+    times = []
+    bytes_total = 0
+    try:
+        for i in range(args.frames):
+            az = 2 * math.pi * i / args.frames
+            ex = args.radius * math.cos(az)
+            ey = args.radius * math.sin(az)
+            ez = 2.5 + 0.5 * math.sin(3 * az)
+            url = (
+                f"{base}/render?ex={ex:.3f}&ey={ey:.3f}&ez={ez:.3f}"
+                f"&tx=0&ty=0&tz=0&w={args.width}&h={args.height}"
+            )
+            t0 = time.time()
+            body = urllib.request.urlopen(url, timeout=300).read()
+            dt = time.time() - t0
+            bytes_total += len(body)
+            if i >= 3:  # first frames pay jit compiles
+                times.append(dt)
+    finally:
+        viewer.stop()
+
+    times.sort()
+    n = len(times)
+    report = {
+        "model": args.model_path,
+        "resolution": f"{args.width}x{args.height}",
+        "frames_timed": n,
+        "warmup_frames": 3,
+        **stats,
+        "mean_ms": round(sum(times) / n * 1e3, 1),
+        "p50_ms": round(times[n // 2] * 1e3, 1),
+        "p90_ms": round(times[int(n * 0.9)] * 1e3, 1),
+        "fps_mean": round(n / sum(times), 2),
+        "jpeg_kb_mean": round(bytes_total / (n + 3) / 1024, 1),
+        "note": "end-to-end HTTP client latency: render + JPEG encode + "
+                "localhost transfer, one request in flight (interactive "
+                "browser pattern)",
+    }
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
