@@ -300,6 +300,15 @@ def _probe_initial_budgets(settings, state, train_cams, width, height,
                 "scene cannot render drop-free at this resolution"
             )
         max_pairs = need
+    # A/B knob (VERDICT r3 item 4 — quantify the PSNR cost of residual
+    # steady-state drops): scale the probed pair budget, e.g.
+    # GSJAX_PAIR_BUDGET_MULT=2 re-runs the tail of a training run with a
+    # doubled budget from the same checkpoint
+    mult = float(os.environ.get("GSJAX_PAIR_BUDGET_MULT", "1") or 1)
+    if mult != 1.0:
+        max_pairs = min(
+            1 << 26, -(-int(max_pairs * mult) // 65536) * 65536
+        )
     # tier_frac safety: the small tier holds the tier_frac*N smallest
     # footprints at mt/4 slots each. An SfM init with mostly-large
     # footprints would tier-cap on iteration 1 and trigger 1-2 back-off

@@ -270,16 +270,25 @@ def make_train_step(
     Omitting it compiles the select-free graph.
     """
     bg_color = jnp.full(3, 1.0 if cfg.white_background else 0.0, jnp.float32)
+    # chunked transfer AND runtime argument: jit closure captures ship in
+    # the remote compile payload (413/broken pipe at garden1m's ~400MB
+    # image stack), so the stack enters through the argument list
     images = to_device_chunked(images)
 
     @jax.jit
-    def step(state: GaussianState, opt_state, cam_idx, key, apply_update=None):
+    def _step(state: GaussianState, opt_state, cam_idx, key, imgs,
+              apply_update=None):
         return _train_step_body(
-            tx, cameras, images, cfg, bg_color, state, opt_state, cam_idx,
+            tx, cameras, imgs, cfg, bg_color, state, opt_state, cam_idx,
             key, apply_update,
         )
 
-    return step
+    def step(state, opt_state, cam_idx, key, apply_update=None):
+        if apply_update is None:
+            return _step(state, opt_state, cam_idx, key, images)
+        return _step(state, opt_state, cam_idx, key, images, apply_update)
+
+    return _attach_lower_images(step, _step, images)
 
 
 def make_train_step_chained(
@@ -301,16 +310,16 @@ def make_train_step_chained(
         (state, opt_state, metrics of last step + "loss_mean")
     """
     bg_color = jnp.full(3, 1.0 if cfg.white_background else 0.0, jnp.float32)
-    images = to_device_chunked(images)
+    images = to_device_chunked(images)  # runtime arg, see make_train_step
 
     @jax.jit
-    def chained(state: GaussianState, opt_state, cam_idxs, key):
+    def _chained(state: GaussianState, opt_state, cam_idxs, key, imgs):
         def body(carry, x):
             state, opt_state = carry
             i, cam_idx = x
             k = jax.random.fold_in(key, i)
             state, opt_state, metrics = _train_step_body(
-                tx, cameras, images, cfg, bg_color, state, opt_state, cam_idx, k
+                tx, cameras, imgs, cfg, bg_color, state, opt_state, cam_idx, k
             )
             return (state, opt_state), metrics
 
@@ -339,7 +348,38 @@ def make_train_step_chained(
         )
         return state, opt_state, metrics
 
-    return chained
+    def chained(state, opt_state, cam_idxs, key):
+        return _chained(state, opt_state, cam_idxs, key, images)
+
+    return _attach_lower_images(chained, _chained, images)
+
+
+def _attach_lower_images(step, jfn, images):
+    """AOT support for the CapacityWarmer (see _attach_lower in
+    gsjax/parallel/shard.py): the wrapper hides the image-stack argument,
+    so expose a ``.lower`` that re-injects it. An optional 5th abstract
+    arg (the discard-mode apply_update flag) maps to the jit's trailing
+    parameter."""
+
+    class _Lowered:
+        def __init__(self, lowered, has_apply):
+            self._lowered = lowered
+            self._has_apply = has_apply
+
+        def compile(self):
+            compiled = self._lowered.compile()
+            if self._has_apply:
+                return lambda s, o, c, k, a: compiled(s, o, c, k, images, a)
+            return lambda s, o, c, k: compiled(s, o, c, k, images)
+
+    def lower(state_abs, opt_abs, cam_abs, key_abs, *rest):
+        return _Lowered(
+            jfn.lower(state_abs, opt_abs, cam_abs, key_abs, images, *rest),
+            bool(rest),
+        )
+
+    step.lower = lower
+    return step
 
 
 def make_densify_step(opt: OptimizationParams, cfg: TrainConfig):
