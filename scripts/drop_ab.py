@@ -35,15 +35,15 @@ def run(cmd, env=None):
     subprocess.run(cmd, check=True, env=e, cwd=REPO)
 
 
-def tail_metrics(model_dir, log_name="train_log.jsonl"):
-    """Mean dropped pairs over the final 2k-iteration window."""
+def tail_metrics(model_dir, from_iter, log_name="train_log.jsonl"):
+    """Mean dropped pairs over the A/B window."""
     drops, its = [], []
     path = os.path.join(model_dir, log_name)
     if not os.path.exists(path):
         return {}
     for line in open(path):
         rec = json.loads(line)
-        if rec.get("iter", 0) >= 28000:
+        if rec.get("iter", 0) >= from_iter:
             drops.append(rec.get("dropped_pairs", 0))
             its.append(rec.get("it_per_s"))
     if not drops:
@@ -62,13 +62,20 @@ def main():
     ap.add_argument("-m", "--model", required=True,
                     help="trained model dir containing chkpnt<iter>.npz")
     ap.add_argument("--from_iter", type=int, default=28000)
+    ap.add_argument("--to_iter", type=int, default=30000,
+                    help="train both arms to this iteration (passed as "
+                         "--iterations; shortens the A/B window when the "
+                         "main run walled out early — both arms see the "
+                         "same shifted LR-schedule end, so the budget "
+                         "delta is still isolated)")
     ap.add_argument("--mult", type=float, default=2.0)
     args = ap.parse_args()
 
     ckpt = os.path.join(args.model, f"chkpnt{args.from_iter}.npz")
     assert os.path.exists(ckpt), f"missing {ckpt}"
 
-    results = {"from_iter": args.from_iter, "mult": args.mult, "arms": {}}
+    results = {"from_iter": args.from_iter, "to_iter": args.to_iter,
+               "mult": args.mult, "arms": {}}
     for arm, env in (
         ("baseline", {}),
         ("big_budget", {"GSJAX_PAIR_BUDGET_MULT": str(args.mult)}),
@@ -78,8 +85,10 @@ def main():
         run([
             sys.executable, "train.py", "-s", args.source, "-m", out,
             "--eval", "--start_checkpoint", ckpt,
-            "--test_iterations", "30000", "--save_iterations", "30000",
-            "--quiet",
+            "--iterations", str(args.to_iter),
+            "--test_iterations", str(args.to_iter),
+            "--save_iterations", str(args.to_iter),
+            "--quiet", "--disable_viewer",
         ], env=env)
         run([sys.executable, "render.py", "-m", out, "--skip_train",
              "--quiet"])
@@ -87,11 +96,13 @@ def main():
         res = json.load(open(os.path.join(out, "results.json")))
         results["arms"][arm] = {
             "results": res,
-            **tail_metrics(out),
+            **tail_metrics(out, args.from_iter),
         }
 
-    b = results["arms"]["baseline"]["results"].get("ours_30000", {})
-    g = results["arms"]["big_budget"]["results"].get("ours_30000", {})
+    b = results["arms"]["baseline"]["results"].get(
+        f"ours_{args.to_iter}", {})
+    g = results["arms"]["big_budget"]["results"].get(
+        f"ours_{args.to_iter}", {})
     if b and g:
         results["psnr_cost_of_drops"] = round(
             g.get("PSNR", 0) - b.get("PSNR", 0), 4
