@@ -98,8 +98,16 @@ def render_state(
     )
 
 
-def make_render_fn(cfg: TrainConfig, with_stats: bool = False):
+def make_render_fn(
+    cfg: TrainConfig, with_stats: bool = False, as_uint8: bool = False
+):
     """A jitted (state, camera, bg) -> image function for eval/viewer use.
+
+    ``as_uint8=True`` quantizes to uint8 ON DEVICE before the result leaves
+    the chip — a 4x device->host transfer cut (24.9MB -> 6.2MB per 1080p
+    frame) that is the difference between tunnel-bound and interactive for
+    a remote-attached viewer, and saves the host a full-frame f32
+    clip/scale pass either way.
 
     ``scale_modifier`` is a traced scalar (the viewer slider changes it per
     request without recompiling); the ``shs_python`` / ``cov3d_python``
@@ -157,9 +165,14 @@ def make_render_fn(cfg: TrainConfig, with_stats: bool = False):
             cov3d_precomp=cov3d,
             colors_precomp=colors,
         )
+        img = out["render"]
+        if as_uint8:
+            img = jnp.clip(
+                img * 255.0 + 0.5, 0.0, 255.0
+            ).astype(jnp.uint8)
         if with_stats:
-            return out["render"], out["num_dropped"]
-        return out["render"]
+            return img, out["num_dropped"]
+        return img
 
     return render_fn
 

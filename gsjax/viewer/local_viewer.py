@@ -152,8 +152,12 @@ class LocalViewer:
                     settings = probe_rasterize_settings(
                         self.state, cams, w, h
                     )
+                    # as_uint8: quantize on device — the f32 frame never
+                    # crosses device->host (4x less transfer; critical when
+                    # the chip is tunnel-attached) and the host skips a
+                    # full-frame clip/scale on its way to the JPEG encoder.
                     self._fns[key] = make_render_fn(
-                        TrainConfig(settings=settings)
+                        TrainConfig(settings=settings), as_uint8=True
                     )
                 return self._fns[key]
 
@@ -193,9 +197,7 @@ class LocalViewer:
         from PIL import Image
 
         buf = io.BytesIO()
-        Image.fromarray(
-            (np.clip(img, 0, 1) * 255).astype(np.uint8)
-        ).save(buf, "JPEG", quality=self.jpeg_quality)
+        Image.fromarray(img).save(buf, "JPEG", quality=self.jpeg_quality)
         return buf.getvalue()
 
     # -- http ------------------------------------------------------------

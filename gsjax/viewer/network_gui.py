@@ -132,7 +132,8 @@ class ViewerBridge:
                         cov3d_python=rot_scale_python,
                     )
                     arr = np.asarray(img)
-                    arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+                    if arr.dtype != np.uint8:  # as_uint8 fns already did it
+                        arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
                     image_bytes = memoryview(np.ascontiguousarray(arr))
                 self.send(image_bytes)
                 if do_training and (

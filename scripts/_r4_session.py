@@ -172,6 +172,65 @@ def main():
             log({"stage": "snug", "cfg": tag + "_fwdbwd",
                  "ms": round(t * 1e3, 1), "fps": round(1 / t, 2)})
 
+    if "phases" in stages:
+        # Per-phase split of the default forward at the 1080p bench scene
+        # (compact + snug, the committed bench config): three cumulative
+        # prefixes — preprocess; +binning; full render — so differences
+        # give per-phase times under the same jit/fusion regime. These are
+        # the measured numerators of the honest roofline (VERDICT r3 item
+        # 5); the denominators come from the sort/vpu stages below.
+        from gsjax.ops.binning import build_tile_bins
+        from gsjax.ops.projection import num_tiles, preprocess
+        from gsjax.train.step import activated
+
+        s = RasterizeSettings(max_pairs=3_538_944, backend="pallas",
+                              tier_frac=0.0, expansion="compact")
+        tiles_x, tiles_y = num_tiles(1920, 1080)
+
+        def pre_only(eps):
+            pp = dict(state.params)
+            pp["xyz"] = pp["xyz"] + eps
+            st = dataclasses.replace(state, params=pp)
+            m3, sc, qu, op, shs = activated(st)
+            sp = preprocess(m3, sc, qu, op, shs, rcam,
+                            st.active_sh_degree, active_mask=st.active,
+                            opacity_aware_radius=s.opacity_aware_radius)
+            return (jnp.sum(sp.means2d[::64]) + jnp.sum(sp.conics[::64])
+                    + jnp.sum(sp.colors[::64]) + jnp.sum(sp.radii[::64]))
+
+        def pre_bins(eps):
+            pp = dict(state.params)
+            pp["xyz"] = pp["xyz"] + eps
+            st = dataclasses.replace(state, params=pp)
+            m3, sc, qu, op, shs = activated(st)
+            sp = preprocess(m3, sc, qu, op, shs, rcam,
+                            st.active_sh_degree, active_mask=st.active,
+                            opacity_aware_radius=s.opacity_aware_radius)
+            b = build_tile_bins(sp, tiles_x, tiles_y, s.max_pairs,
+                                max_tiles_per_gauss=s.max_tiles_per_gauss,
+                                tier_frac=s.tier_frac,
+                                expansion=s.expansion)
+            return (jnp.sum(b.pair_gauss[::4096]) + jnp.sum(b.tile_start)
+                    + jnp.sum(sp.radii[::64]))
+
+        def full(eps):
+            pp = dict(state.params)
+            pp["xyz"] = pp["xyz"] + eps
+            st = dataclasses.replace(state, params=pp)
+            img = render_state(st, rcam, bg, s)["render"]
+            return jnp.sum(img[::64, ::64])
+
+        ms = {}
+        for tag, fn in (("pre", pre_only), ("pre+bin", pre_bins),
+                        ("full", full)):
+            t = timed(jax.jit(fn), rtt=rtt)
+            ms[tag] = t * 1e3
+            log({"stage": "phases", "cfg": tag, "ms": round(t * 1e3, 2)})
+        log({"stage": "phases", "cfg": "split",
+             "pre_ms": round(ms["pre"], 2),
+             "bin_ms": round(ms["pre+bin"] - ms["pre"], 2),
+             "composite_ms": round(ms["full"] - ms["pre+bin"], 2)})
+
     if "sort" in stages:
         # lax.sort throughput ceilings at the bench shapes — the honest
         # denominator for the binning phase of the roofline (VERDICT r3
