@@ -352,6 +352,21 @@ def main():
             for k, v in roof.items()
         }
 
+    # measured-attainable roofline reference (free): per-phase measured vs
+    # attainable from the committed microbench session — lax.sort ceiling,
+    # pack-gather rate, composite DMA-skeleton floor + per-pass slope. The
+    # honest denominators; see docs/PERF.md "Honest roofline (round 4)".
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "evidence", "perf", "roofline_r4.json",
+    )
+    if os.path.exists(ref_path):
+        try:
+            with open(ref_path) as f:
+                ex["roofline_ref"] = json.load(f)
+        except Exception:
+            pass
+
     emit()
     return 0
 
