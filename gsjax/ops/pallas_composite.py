@@ -36,6 +36,7 @@ Pair attribute row order (see :func:`pack_pair_attrs`):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -178,6 +179,29 @@ def _pix_sum(x):
     )
 
 
+def _all_done_check(ci, done, exit_every):
+    """Saturation early-exit predicate, checked every ``exit_every`` chunks.
+
+    The check itself costs a full (PIX, 1) cross-sublane reduction plus a
+    vector->scalar move per chunk (pipeline sync) — measurable against
+    what early exit saves, and tiles average only a handful of chunks at
+    bench shapes. ``exit_every=0`` disables the check (the loop always
+    walks every chunk; the IMAGE is identical either way, exit only skips
+    chunks whose contribution is already masked to zero); ``k>1`` checks
+    on every k-th chunk. Read from ``GSJAX_EXIT_CHECK_EVERY`` at trace
+    time in :func:`composite_tiles_pallas`."""
+    if exit_every == 0:
+        return jnp.int32(0)
+    if exit_every == 1:
+        return (jnp.sum(done) >= PIX).astype(jnp.int32)
+    return jax.lax.cond(
+        (ci + 1) % exit_every == 0,
+        lambda d: (jnp.sum(d) >= PIX).astype(jnp.int32),
+        lambda d: jnp.int32(0),
+        done,
+    )
+
+
 def _interpret_default():
     """Interpret-mode on CPU (tests / virtual meshes); compiled on TPU.
 
@@ -244,6 +268,7 @@ def _composite_kernel(
     *,
     chunk,
     tiles_x,
+    exit_every=1,
 ):
     # NOTE (round-4 negative result, measured on-chip): moving the
     # per-pixel carries (logT, done, ncon) into VMEM scratch refs and
@@ -360,7 +385,7 @@ def _composite_kernel(
         # the kernel header before "optimizing" these again)
         logT = logT + jnp.sum(lg_eff, axis=1, keepdims=True)
         done = jnp.maximum(done, jnp.max(trip, axis=1, keepdims=True))
-        all_done = (jnp.sum(done) >= PIX).astype(jnp.int32)
+        all_done = _all_done_check(ci, done, exit_every)
         return ci + 1, all_done, logT, done, ncon
 
     def chunk_cond(state):
@@ -408,6 +433,7 @@ def _composite_infer_kernel(
     *,
     chunk,
     tiles_x,
+    exit_every=1,
 ):
     """Forward-only (inference) variant of :func:`_composite_kernel`.
 
@@ -502,7 +528,7 @@ def _composite_infer_kernel(
 
         logT = logT + jnp.sum(lg_eff, axis=1, keepdims=True)
         done = jnp.maximum(done, jnp.max(trip, axis=1, keepdims=True))
-        all_done = (jnp.sum(done) >= PIX).astype(jnp.int32)
+        all_done = _all_done_check(ci, done, exit_every)
         return ci + 1, all_done, logT, done
 
     def chunk_cond(state):
@@ -555,11 +581,15 @@ def composite_tiles_pallas(
         ],
     )
     kern = _composite_infer_kernel if infer else _composite_kernel
+    # experiment knob (read at TRACE time): how often the saturation
+    # early-exit reduction runs; identical images at any value
+    exit_every = int(os.environ.get("GSJAX_EXIT_CHECK_EVERY", "1"))
     # boundary array is sublane-major (T, 8, PIX) — lane-aligned, no
     # 8 -> 128 padding tax (see _transpose_px8); XLA fuses the transpose
     # back into the consumers (assemble_image transposes anyway)
     out = pl.pallas_call(
-        functools.partial(kern, chunk=chunk, tiles_x=tiles_x),
+        functools.partial(kern, chunk=chunk, tiles_x=tiles_x,
+                          exit_every=exit_every),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_t, 8, PIX), jnp.float32),
         interpret=interpret,

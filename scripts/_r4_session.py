@@ -231,6 +231,29 @@ def main():
              "bin_ms": round(ms["pre+bin"] - ms["pre"], 2),
              "composite_ms": round(ms["full"] - ms["pre+bin"], 2)})
 
+    if "exitk" in stages:
+        # saturation early-exit cadence: the per-chunk all-done reduction
+        # costs a cross-sublane reduce + vector->scalar sync; tiles average
+        # ~3 chunks at the bench scene so exit rarely fires. Images are
+        # identical at any cadence (masked contributions are zero) — pure
+        # time A/B. Env is read at TRACE time; fresh closures retrace.
+        for k in ("1", "4", "0"):
+            os.environ["GSJAX_EXIT_CHECK_EVERY"] = k
+            s = RasterizeSettings(max_pairs=3_538_944, backend="pallas",
+                                  tier_frac=0.0, expansion="compact")
+
+            def fwd(eps, _s=s, _k=k):  # _k: distinct closure per config
+                pp = dict(state.params)
+                pp["xyz"] = pp["xyz"] + eps
+                st = dataclasses.replace(state, params=pp)
+                img = render_state(st, rcam, bg, _s)["render"]
+                return jnp.sum(img[::64, ::64])
+
+            t = timed(jax.jit(fwd), rtt=rtt)
+            log({"stage": "exitk", "cfg": f"every{k}",
+                 "ms": round(t * 1e3, 1), "fps": round(1 / t, 2)})
+        os.environ["GSJAX_EXIT_CHECK_EVERY"] = "1"
+
     if "sort" in stages:
         # lax.sort throughput ceilings at the bench shapes — the honest
         # denominator for the binning phase of the roofline (VERDICT r3
