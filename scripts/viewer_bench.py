@@ -59,7 +59,11 @@ def main():
                 f"&tx=0&ty=0&tz=0&w={args.width}&h={args.height}"
             )
             t0 = time.time()
-            body = urllib.request.urlopen(url, timeout=300).read()
+            # the first frame pays probe + jit compile — at 1M+ gaussians
+            # that is many minutes through the remote-compile tunnel
+            body = urllib.request.urlopen(
+                url, timeout=1800 if i == 0 else 300
+            ).read()
             dt = time.time() - t0
             bytes_total += len(body)
             if i >= 3:  # first frames pay jit compiles
