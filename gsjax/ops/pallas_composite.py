@@ -30,7 +30,17 @@ TPU mapping:
 
 Pair attribute row order (see :func:`pack_pair_attrs`):
   [0] mean_x [1] mean_y [2] conic_a [3] conic_b [4] conic_c
-  [5] opacity [6] r [7] g [8] b [9..11] padding
+  [5] f16(r)<<16 | f16(g)   [6] f16(b)<<16 | f16(opacity)
+  [7] pair slot bits (backward reduction only; forward ignores)
+
+The 8-column layout is deliberate: the pack gather moves 8xf32 rows at
+209 Mrows/s vs 164 for 16xf32 (measured sweep, evidence/perf/r4_ab.jsonl —
+the round-4 roofline's single biggest sanctioned design win), and every
+kernel chunk DMA halves from 8KB to 4KB. Colors and opacity are f16-
+quantized once in :func:`gsjax.ops.projection.preprocess` (so every
+backend composites identical values); the kernels decode the packed
+halves with integer ops (:func:`_f16_pair_rows`) that reproduce XLA's
+f16->f32 upcast bit-exactly for normal values.
 """
 
 from __future__ import annotations
@@ -50,7 +60,11 @@ from gsjax.ops.projection import TILE
 
 LOG_T_EPS = math.log(T_EPS)
 
-ATTR_W = 16  # attribute rows per pair (12 used; padded to the sublane tile)
+ATTR_W = 8  # attribute rows per pair: 7 data + 1 slot-key row, an exact
+# f32 sublane tile — see the gather-rate rationale in the module docstring
+SLOT_ROW = 7  # attr row carrying the pair's slot id bits (backward only)
+GRAD_W = 16  # backward-kernel output rows per pair: 9 grads + up to 4
+# slot-key digit rows, padded to the bf16 sublane tile
 PIX = TILE * TILE  # 256
 CHUNK = 128  # pairs per DMA chunk; also the tile-range alignment
 
@@ -151,14 +165,41 @@ def _transpose_8px(x8t):
     )
 
 
-def _rgb_rows(buf, slot):
-    """(3, chunk) color rows from the attr buffer, as three single-sublane
-    loads + concat: a 3-row slice at offset 6 crosses the (8,128) vreg
-    tile boundary, which Mosaic has not been proven to lower (round-1
-    kernels only ever sliced single sublanes at arbitrary offsets)."""
-    return jnp.concatenate(
-        [buf[slot, 6:7, :], buf[slot, 7:8, :], buf[slot, 8:9, :]], axis=0
-    )
+def pack_f16_pair(hi, lo):
+    """Two f32 arrays -> one f32 array whose bits hold (f16(hi) << 16) |
+    f16(lo). Denormal f16 results flush to signed zero so the kernels'
+    integer decode (:func:`_f16_pair_rows`, which flushes denormals)
+    reproduces XLA's upcast of the same value bit-exactly."""
+
+    def h16(x):
+        b = jax.lax.bitcast_convert_type(
+            x.astype(jnp.float16), jnp.uint16
+        ).astype(jnp.uint32)
+        return jnp.where((b & 0x7C00) == 0, b & 0x8000, b)
+
+    w = (h16(hi) << 16) | h16(lo)
+    return jax.lax.bitcast_convert_type(w, jnp.float32)
+
+
+def _f16_pair_rows(row):
+    """Decode one packed attr row -> (hi, lo) f32 rows, integer-only.
+
+    Mosaic vregs are 32-bit lanes; rather than materialize 16-bit vectors
+    (relayout-heavy) the f16 halves are expanded with shift/mask/add on
+    int32: for a normal f16 (s, e, m) the f32 pattern is
+    s<<31 | (e+112)<<23 | m<<13, i.e. sign | ((em + 112*1024) << 13) on
+    the 15 exponent+mantissa bits — exactly XLA's f16->f32 upcast.
+    Denormals (e == 0) flush to zero; :func:`pack_f16_pair` never emits
+    them, so decode matches the host value bit-exactly."""
+    bits = jax.lax.bitcast_convert_type(row, jnp.int32)
+
+    def dec(h):
+        sign = (h & 0x8000) << 16
+        em = h & 0x7FFF
+        f32b = jnp.where(em < 1024, 0, sign | ((em + (112 << 10)) << 13))
+        return jax.lax.bitcast_convert_type(f32b, jnp.float32)
+
+    return dec((bits >> 16) & 0xFFFF), dec(bits & 0xFFFF)
 
 
 def _pix_sum(x):
@@ -223,41 +264,46 @@ def _interpret_default():
 def pack_pair_attrs(pair_gauss, means2d, conics, colors, opacities,
                     chunk: int = CHUNK, pair_slot=None):
     """Gather per-gaussian attributes into the sorted, *chunk-major*
-    (n_chunks, 16, chunk) table the kernel streams: each leading index is
-    one contiguous 8KB DMA block (strided per-attribute-row reads would be
-    16 separate 512B transfers). Tail padding keeps the last tile's aligned
+    (n_chunks, 8, chunk) table the kernel streams: each leading index is
+    one contiguous 4KB DMA block (strided per-attribute-row reads would be
+    8 separate 512B transfers). Tail padding keeps the last tile's aligned
     window in bounds; tile ranges never cover it.
 
-    When ``pair_slot`` is given its int32 bits ride in attribute row 9
-    (unused by the forward kernel); the backward kernel forwards them into
-    its output so the grad reduction can sort by slot without gathering."""
+    rgb + opacity ride as two packed-f16 words (module docstring) so the
+    per-pair row gather moves 8 f32 columns — its measured fast-rate
+    width — instead of 16. When ``pair_slot`` is given its int32 bits ride
+    in attribute row ``SLOT_ROW`` (unused by the forward kernel); the
+    backward kernel forwards them into its output so the grad reduction
+    can sort by slot without gathering."""
     per_gauss = jnp.concatenate(
         [
-            means2d,
-            conics,
-            opacities[:, None],
-            colors,
-            jnp.zeros((means2d.shape[0], 7), jnp.float32),
+            means2d.astype(jnp.float32),
+            conics.astype(jnp.float32),
+            pack_f16_pair(colors[:, 0], colors[:, 1])[:, None],
+            pack_f16_pair(colors[:, 2], opacities)[:, None],
+            jnp.zeros((means2d.shape[0], 1), jnp.float32),
         ],
         axis=1,
-    ).astype(jnp.float32)  # (N, 16)
-    pair = per_gauss[pair_gauss]  # (P, 16) one row gather
+    )  # (N, 8)
+    pair = per_gauss[pair_gauss]  # (P, 8) one row gather
     if pair_slot is not None:
-        pair = pair.at[:, 9].set(
+        pair = pair.at[:, SLOT_ROW].set(
             jax.lax.bitcast_convert_type(pair_slot, jnp.float32)
         )
     p = pair.shape[0]
     pad = (-p) % chunk + chunk
-    pair = jnp.concatenate([pair, jnp.zeros((pad, 16), jnp.float32)], axis=0)
+    pair = jnp.concatenate(
+        [pair, jnp.zeros((pad, ATTR_W), jnp.float32)], axis=0
+    )
     n_chunks = pair.shape[0] // chunk
-    return pair.reshape(n_chunks, chunk, 16).transpose(0, 2, 1)
+    return pair.reshape(n_chunks, chunk, ATTR_W).transpose(0, 2, 1)
 
 
 def _composite_kernel(
     # scalar prefetch
     tile_start_ref,
     # inputs
-    pair_attrs_hbm,  # (n_chunks, 16, chunk) HBM, chunk-major
+    pair_attrs_hbm,  # (n_chunks, ATTR_W, chunk) HBM, chunk-major
     # outputs
     out_ref,  # (1, 8, PIX): rows r, g, b, T, n_contrib (f32), pad x3
     # scratch
@@ -331,11 +377,13 @@ def _composite_kernel(
         ca = buf[slot, 2:3, :]
         cb = buf[slot, 3:4, :]
         cc = buf[slot, 4:5, :]
-        op = buf[slot, 5:6, :]
+        r_row, g_row = _f16_pair_rows(buf[slot, 5:6, :])
+        b_row, op = _f16_pair_rows(buf[slot, 6:7, :])
         # colors as one (chunk, 3) MXU transpose: the three per-channel
         # broadcasts + lane reductions become a single (PIX,chunk)@(chunk,3)
         col3 = jax.lax.dot_general(
-            _rgb_rows(buf, slot), eye3, (((0,), (0,)), ((), ())),
+            jnp.concatenate([r_row, g_row, b_row], axis=0), eye3,
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
         )  # (chunk, 3)
 
@@ -423,7 +471,7 @@ def _composite_infer_kernel(
     # scalar prefetch
     tile_start_ref,
     # inputs
-    pair_attrs_hbm,  # (n_chunks, 16, chunk) HBM, chunk-major
+    pair_attrs_hbm,  # (n_chunks, ATTR_W, chunk) HBM, chunk-major
     # outputs
     out_ref,  # (1, 8, PIX): rows r, g, b, T, pad x4
     # scratch
@@ -493,9 +541,11 @@ def _composite_infer_kernel(
         ca = buf[slot, 2:3, :]
         cb = buf[slot, 3:4, :]
         cc = buf[slot, 4:5, :]
-        op = buf[slot, 5:6, :]
+        r_row, g_row = _f16_pair_rows(buf[slot, 5:6, :])
+        b_row, op = _f16_pair_rows(buf[slot, 6:7, :])
         col3 = jax.lax.dot_general(
-            _rgb_rows(buf, slot), eye3, (((0,), (0,)), ((), ())),
+            jnp.concatenate([r_row, g_row, b_row], axis=0), eye3,
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
         )  # (chunk, 3)
 
@@ -553,7 +603,7 @@ def _composite_infer_kernel(
 
 
 def composite_tiles_pallas(
-    pair_attrs,  # (16, P + chunk) f32 from pack_pair_attrs
+    pair_attrs,  # (n_chunks, ATTR_W, chunk) f32 from pack_pair_attrs
     tile_start,  # (T + 1,) int32 compact sorted ranges
     tiles_x: int,
     tiles_y: int,
@@ -581,9 +631,18 @@ def composite_tiles_pallas(
         ],
     )
     kern = _composite_infer_kernel if infer else _composite_kernel
-    # experiment knob (read at TRACE time): how often the saturation
+    # experiment knob (read at TRACE time — already-traced functions keep
+    # the value they saw; retrace to change it): how often the saturation
     # early-exit reduction runs; identical images at any value
-    exit_every = int(os.environ.get("GSJAX_EXIT_CHECK_EVERY", "1"))
+    raw = os.environ.get("GSJAX_EXIT_CHECK_EVERY", "1")
+    try:
+        exit_every = int(raw)
+    except ValueError:
+        exit_every = -1
+    if exit_every < 0:
+        raise ValueError(
+            f"GSJAX_EXIT_CHECK_EVERY must be an integer >= 0, got {raw!r}"
+        )
     # boundary array is sublane-major (T, 8, PIX) — lane-aligned, no
     # 8 -> 128 padding tax (see _transpose_px8); XLA fuses the transpose
     # back into the consumers (assemble_image transposes anyway)
@@ -605,14 +664,14 @@ def _composite_bwd_kernel(
     tile_start_ref,
     padded_start_ref,
     # inputs
-    pair_attrs_hbm,  # (n_chunks, 16, chunk) HBM — residual from forward
+    pair_attrs_hbm,  # (n_chunks, ATTR_W, chunk) HBM — residual from forward
     io_ref,  # (1, 8, PIX) VMEM rows: vr vg vb u T_N ncon 0 0
-    _zeros_in,  # (P_pad // chunk, 16, chunk) HBM — aliased to grads_hbm
+    _zeros_in,  # (P_pad // chunk, GRAD_W, chunk) HBM — aliased to grads_hbm
     # outputs
-    grads_hbm,  # (P_pad // chunk, 16, chunk) HBM — per-pair grad blocks
+    grads_hbm,  # (P_pad // chunk, GRAD_W, chunk) HBM — per-pair grad blocks
     # scratch
     buf,  # (2, ATTR_W, chunk) f32 VMEM — input double buffer
-    obuf,  # (2, ATTR_W, chunk) VMEM — output double buffer (grad dtype)
+    obuf,  # (2, GRAD_W, chunk) VMEM — output double buffer (grad dtype)
     sems,  # (2,) input DMA semaphores
     osems,  # (2,) output DMA semaphores
     *,
@@ -690,8 +749,9 @@ def _composite_bwd_kernel(
         ca = buf[slot, 2:3, :]
         cb = buf[slot, 3:4, :]
         cc = buf[slot, 4:5, :]
-        op = buf[slot, 5:6, :]
-        col3 = _rgb_rows(buf, slot)  # (3, chunk) rgb rows
+        r_row, g_row = _f16_pair_rows(buf[slot, 5:6, :])
+        b_row, op = _f16_pair_rows(buf[slot, 6:7, :])
+        col3 = jnp.concatenate([r_row, g_row, b_row], axis=0)  # (3, chunk)
 
         gidx = win + ci * chunk + lane
         dx = px - mean_x
@@ -760,19 +820,19 @@ def _composite_bwd_kernel(
 
         zero_row = jnp.zeros((1, chunk), jnp.float32)
         if emit_slot_keys:
-            # forward the pair's slot id (riding in attr row 9) for the
-            # sort-payload reduction; out-of-range lanes belong to a
+            # forward the pair's slot id (riding in attr row SLOT_ROW) for
+            # the sort-payload reduction; out-of-range lanes belong to a
             # neighboring tile's window and get the max-slot sentinel
             in_range = (gidx >= start) & (gidx < end)
             slot_bits = jax.lax.bitcast_convert_type(
-                buf[slot, 9:10, :], jnp.int32
+                buf[slot, SLOT_ROW:SLOT_ROW + 1, :], jnp.int32
             )
             if obuf.dtype == jnp.float32:
                 key_row = jax.lax.bitcast_convert_type(
                     jnp.where(in_range, slot_bits, jnp.int32(2**31 - 1)),
                     jnp.float32,
                 )
-                tail = [key_row] + [zero_row] * (ATTR_W - 10)
+                tail = [key_row] + [zero_row] * (GRAD_W - 10)
             else:
                 # bf16 output can't carry 32 raw key bits in one row: split
                 # the slot id into four base-256 digits (integers <= 255 are
@@ -784,9 +844,9 @@ def _composite_bwd_kernel(
                     ((s >> 16) & 255).astype(jnp.float32),
                     ((s >> 8) & 255).astype(jnp.float32),
                     (s & 255).astype(jnp.float32),
-                ] + [zero_row] * (ATTR_W - 13)
+                ] + [zero_row] * (GRAD_W - 13)
         else:
-            tail = [zero_row] * (ATTR_W - 9)
+            tail = [zero_row] * (GRAD_W - 9)
         obuf[slot] = jnp.concatenate(
             [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_g, g_b] + tail,
             axis=0,
@@ -861,9 +921,15 @@ def composite_pallas_grads(
     grad_dtype=jnp.float32,
     grad_reduce: str = "gather",
     gauss_inv_perm=None,
+    _kernel_only: bool = False,
 ):
     """Backward pass: per-pair gradient kernel + deterministic segmented
     reduction to per-gaussian cotangents.
+
+    ``_kernel_only`` (perf-probe seam, scripts/_r5_session.py): skip the
+    reduction and return the raw padded per-pair grad blocks — the
+    difference against a full call isolates reduction time under the same
+    jit/fusion regime (the method behind docs/PERF.md phase splits).
 
     Returns (d_means2d (N,2), d_conics (N,3), d_colors (N,3), d_opacities (N,)).
 
@@ -909,14 +975,14 @@ def composite_pallas_grads(
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_W, chunk), jnp.float32),
-            pltpu.VMEM((2, ATTR_W, chunk), grad_dtype),
+            pltpu.VMEM((2, GRAD_W, chunk), grad_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     emit_keys = grad_reduce == "sort"
     bf16_keys = emit_keys and jnp.dtype(grad_dtype) == jnp.bfloat16
-    zeros_out = jnp.zeros((p_pad // chunk, ATTR_W, chunk), grad_dtype)
+    zeros_out = jnp.zeros((p_pad // chunk, GRAD_W, chunk), grad_dtype)
     if emit_keys and not bf16_keys:
         # unwritten chunks (beyond the last tile window) must read as the
         # +inf-slot sentinel in the key row
@@ -933,10 +999,12 @@ def composite_pallas_grads(
             emit_slot_keys=emit_keys,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((p_pad // chunk, ATTR_W, chunk), grad_dtype),
+        out_shape=jax.ShapeDtypeStruct((p_pad // chunk, GRAD_W, chunk), grad_dtype),
         input_output_aliases={4: 0},  # zeros input (after 2 prefetch + 2 inputs) -> output
         interpret=interpret,
     )(tile_start, padded_start, pair_attrs, io8, zeros_out)
+    if _kernel_only:
+        return grads_padded
 
     # --- reduction: padded per-pair grads -> per-gaussian cotangents ---
     # TPU scatter-adds (segment_sum) measure in the hundreds of ms at this

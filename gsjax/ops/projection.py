@@ -53,6 +53,26 @@ def num_tiles(width: int, height: int):
     return -(-width // TILE), -(-height // TILE)
 
 
+def quantize_f16(x):
+    """Round to the nearest float16 value (denormals flushed to zero),
+    returned in float32.
+
+    The rasterizer quantizes per-Gaussian colors and opacities to f16 so
+    the Pallas pair table packs two values per f32 word — an 8-column
+    table gathers at 209 Mrows/s vs 164 for 16 columns (measured,
+    evidence/perf/r4_ab.jsonl) and the composite kernels stream half the
+    DMA bytes. Relative error is <= 2^-12 (~2.4e-4), two orders below
+    8-bit output quantization (the reference CUDA rasterizer computes f32
+    but also emits 8-bit frames). Applied in :func:`preprocess` so every
+    backend (pallas / XLA scan / naive oracle) sees identical values and
+    cross-backend checks stay at reassociation-level tolerances. Values
+    under the f16 normal range (6.1e-5) flush to zero: such opacities sit
+    far below the 1/255 alpha cutoff and such color contributions are
+    <= 0.016 of an 8-bit LSB."""
+    q = x.astype(jnp.float16).astype(jnp.float32)
+    return jnp.where(jnp.abs(q) < 2.0 ** -14, 0.0, q)
+
+
 def project_points(means3d, camera: RenderCamera):
     """World points -> (view z, pixel xy). Differentiable."""
     ones = jnp.ones_like(means3d[:, :1])
@@ -144,6 +164,11 @@ def preprocess(
     if means2d_offset is not None:
         means2d = means2d + means2d_offset
 
+    # f16 attribute quantization (see quantize_f16) happens before the
+    # opacity-aware radius below so the binning rectangle bounds the alpha
+    # the compositing kernels actually evaluate.
+    opacities = quantize_f16(opacities.reshape(-1))
+
     if cov3d_precomp is None:
         cov3d_flat = covariance6(scales, quats, scale_modifier)
     else:
@@ -221,6 +246,7 @@ def preprocess(
         colors = jnp.maximum(eval_sh(shs, dirs, sh_degree) + 0.5, 0.0)
     else:
         colors = colors_precomp
+    colors = quantize_f16(colors)
 
     return Splats(
         means2d=means2d,

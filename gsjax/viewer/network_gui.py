@@ -133,7 +133,12 @@ class ViewerBridge:
                     )
                     arr = np.asarray(img)
                     if arr.dtype != np.uint8:  # as_uint8 fns already did it
-                        arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+                        # same round-half-up as the on-device as_uint8 path
+                        # (gsjax/train/step.py) so frames are bit-identical
+                        # regardless of which path quantized
+                        arr = np.clip(
+                            arr * 255.0 + 0.5, 0.0, 255.0
+                        ).astype(np.uint8)
                     image_bytes = memoryview(np.ascontiguousarray(arr))
                 self.send(image_bytes)
                 if do_training and (

@@ -16,6 +16,11 @@ interpret) against the committed npz, so any semantic drift in the
 pipeline — culling, EWA math, blending, VJP — fails loudly even if the
 internal cross-checks drift together.
 
+Regenerated round 5: colors/opacities are now f16-quantized inside
+``preprocess`` (gsjax/ops/projection.py::quantize_f16 — enables the
+8-column packed pair table; <= 2.4e-4 relative, two orders below 8-bit
+output quantization), which legitimately moves every golden by ~1e-4.
+
 Usage: python scripts/make_goldens.py   (writes evidence/goldens/*.npz)
 """
 

@@ -16,6 +16,10 @@
 #   nohup bash scripts/r4_run.sh > /tmp/r4_run.log 2>&1 &
 set -uo pipefail
 
+# record this pipeline's PID so follow-up queues (r4_post2.sh) can wait on
+# it instead of contending for the single TPU (ADVICE r4)
+echo $$ > /tmp/r4_run_pid.txt
+
 SCENE=data/garden1m
 OUT=output/eval_r4/garden1m
 EV=evidence/quality/garden1m
