@@ -37,6 +37,9 @@ def main(argv=None):
                     help="override the probed pair-expansion strategy")
     ap.add_argument("--views", type=int, default=8,
                     help="number of test views to cycle through")
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON report atomically to this "
+                         "path on success (crash-safe, stdout-noise-free)")
     ap.add_argument("--at_1080p", action="store_true",
                     help="rescale camera intrinsics to 1920x1080")
     args = ap.parse_args(argv)
@@ -140,7 +143,7 @@ def main(argv=None):
             "views — the fps number is NOT from a drop-free configuration",
             file=sys.stderr,
         )
-    print(json.dumps({
+    report = {
         "metric": "trained-scene render frames/s",
         "value": round(1.0 / t_frame, 3),
         "unit": "frames/s",
@@ -158,7 +161,14 @@ def main(argv=None):
             "device": str(jax.devices()[0]),
             "num_dropped": total_dropped,
         },
-    }))
+    }
+    print(json.dumps(report))
+    if args.out:
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(report, f)
+        json.load(open(tmp))  # parse-before-commit guard
+        os.replace(tmp, args.out)
     return 1 if total_dropped > 0 else 0
 
 
