@@ -450,8 +450,16 @@ def training(
     gauss_shards: int = 1,
     debug_from: int = -1,
     densify_iter_grad: str = "apply",
+    wall_budget: float = 0.0,
 ):
     """Train a scene end-to-end. Returns (scene, final GaussianState).
+
+    ``wall_budget`` > 0: stop GRACEFULLY once that many seconds have
+    elapsed — save a checkpoint (``chkpnt<iter>.npz``) and a PLY snapshot,
+    then return. Replaces the round-4 ``timeout`` kill: SIGKILLing a
+    client mid-dispatch/compile wedges the remote TPU worker for
+    ~45-60 min (docs/verify skill gotchas), and a killed run left no
+    resume point. Resume with ``--start_checkpoint``.
 
     ``densify_iter_grad``: "apply" (default) applies every gradient step;
     "discard" reproduces the reference's densify-iteration behavior of
@@ -1127,6 +1135,22 @@ def training(
                 opt_state,
                 iteration,
             )
+
+        if wall_budget > 0 and time.time() - t_start > wall_budget:
+            print(
+                f"[ITER {iteration}] wall budget ({wall_budget:.0f}s) "
+                "reached — saving checkpoint + snapshot and stopping",
+                flush=True,
+            )
+            save_checkpoint(
+                os.path.join(model.model_path, f"chkpnt{iteration}.npz"),
+                state, opt_state, iteration,
+            )
+            scene.gaussians = state
+            scene.save(iteration)
+            logs.write({"iter": iteration, "event": "wall_budget_stop",
+                        "budget_s": wall_budget})
+            break
 
     wall = time.time() - t_start
     logs.close()

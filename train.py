@@ -55,6 +55,12 @@ def main(argv=None):
         "update, reference train.py:118-128); 'apply' (default) applies "
         "every step",
     )
+    parser.add_argument("--wall_budget", type=float, default=0.0,
+                        help="stop gracefully after this many seconds "
+                             "(checkpoint + PLY snapshot, resumable via "
+                             "--start_checkpoint); 0 = no budget. Safer "
+                             "than `timeout`: killing a TPU client "
+                             "mid-dispatch wedges the remote worker")
     parser.add_argument("--steps_per_dispatch", type=int, default=25)
     parser.add_argument("--data_shards", type=int, default=1,
                         help="mesh axis: cameras per step (data parallel)")
@@ -171,6 +177,7 @@ def main(argv=None):
             gauss_shards=args.gauss_shards,
             debug_from=args.debug_from,
             densify_iter_grad=args.densify_iter_grad,
+            wall_budget=args.wall_budget,
         )
     print("\nTraining complete.")
 
