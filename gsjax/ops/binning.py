@@ -53,7 +53,10 @@ from gsjax.ops.projection import Splats
 class TileBins(NamedTuple):
     pair_gauss: jnp.ndarray  # (P,) int32 ORIGINAL gaussian index per pair
     pair_tile: jnp.ndarray  # (P,) int32 tile id per sorted pair (T = sentinel)
-    pair_slot: jnp.ndarray  # (P,) int32 virtual (pos * mt + j) slot per pair
+    pair_slot: jnp.ndarray  # (P,) int32 slot id per pair: virtual
+    # (pos * mt + j) for grid layouts, row-major compact pair index
+    # (rowstart[pos] + j — always < max_pairs, no capacity*mt bound) for
+    # the compact expansion; see ``slot_layout``
     tile_start: jnp.ndarray  # (T + 1,) int32 range starts into sorted pairs
     num_pairs: jnp.ndarray  # () int32 valid pairs after caps
     num_dropped: jnp.ndarray  # () int32 pairs lost to mt / tier / budget caps
@@ -65,7 +68,10 @@ class TileBins(NamedTuple):
     # SLOT (row) order when tiered, original order otherwise
     gauss_inv_perm: Optional[jnp.ndarray]  # (N,) int32: original gaussian i's
     # row position in slot order (None when untiered)
-    mt: int  # static: max tiles per gaussian (slot stride)
+    mt: int  # static: max tiles per gaussian (slot stride in grid layout)
+    # NOTE: the slot LAYOUT ("grid" vs "rowmajor") is not carried here —
+    # a str field would make TileBins un-returnable from jit. Derive it
+    # with :func:`slot_layout_of`.
 
 
 def _quantized_depth(depths, depth_bits: int):
@@ -136,11 +142,10 @@ def build_tile_bins(
     if expansion not in ("grid", "compact"):
         raise ValueError(f"unknown expansion {expansion!r}")
     compact = expansion == "compact" and not exact_depth_sort
-    if compact and n * mt >= 2**31:
-        raise ValueError(
-            "compact expansion encodes virtual slots as row*mt + j in "
-            f"int32; capacity {n} x mt {mt} overflows — lower the tile cap"
-        )
+    # compact slots are row-major compact pair indices (< max_pairs), so
+    # unlike the r3-r4 row*mt+j encoding there is NO capacity*mt < 2^31
+    # constraint — the case that used to 500 the viewer on trained models
+    # whose one frame-spanning gaussian forces mt ~2048 at >=1M capacity
 
     mt_small = max(2, mt // 4)
     ca = min(int(n * tier_frac) // 8 * 8, n)  # small-tier row budget
@@ -229,9 +234,14 @@ def build_tile_bins(
         valid = p_idx < total
         row = jnp.where(valid, row_base + p_idx, 0)
 
-        # one (P, 5) int32 row gather of the sorted per-row attrs (all
+        # one (P, 6) int32 row gather of the sorted per-row attrs (all
         # integer-valued; an f32 table would corrupt depth bits > 2^24)
-        tbl = jnp.stack([rx, ry, jnp.maximum(rw, 1), dq, orig_idx], axis=1)
+        rowstart = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt).astype(jnp.int32)[:-1]]
+        )  # exclusive row-major pair offsets
+        tbl = jnp.stack(
+            [rx, ry, jnp.maximum(rw, 1), dq, orig_idx, rowstart], axis=1
+        )
         g = tbl[row]
         tx = g[:, 0] + j_of % g[:, 2]
         ty = g[:, 1] + j_of // g[:, 2]
@@ -241,7 +251,10 @@ def build_tile_bins(
                 jnp.uint32
             )
         )
-        slot = row * mt + j_of
+        # row-major compact slot: always < sum(cnt) <= max_pairs, so no
+        # capacity * mt overflow; the backward's per-gaussian segments in
+        # slot order are exactly [cumsum(cnt)[i], cumsum(cnt)[i+1])
+        slot = g[:, 5] + j_of
         gauss = g[:, 4]
 
         key_s, sorted_slot, sorted_g = jax.lax.sort(
@@ -359,3 +372,13 @@ def build_tile_bins(
         gauss_inv_perm=inv_perm,
         mt=mt,
     )
+
+
+def slot_layout_of(expansion: str, exact_depth_sort: bool = False) -> str:
+    """Slot-id layout produced by :func:`build_tile_bins` for a config:
+    "rowmajor" (compact expansion: slot = cumsum(counts)[row] + j, always
+    < max_pairs) or "grid" (slot = row * mt + j). The backward reduction
+    needs this to map slots back to gaussian rows."""
+    if expansion == "compact" and not exact_depth_sort:
+        return "rowmajor"
+    return "grid"

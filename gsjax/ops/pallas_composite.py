@@ -77,12 +77,16 @@ def _eye8():
 
 # All kernel matmuls carry real state (log-transmittance partial sums,
 # color accumulators, boundary-array transposes), so they must NOT run at
-# the TPU MXU's DEFAULT precision, which truncates f32 operands to
-# bfloat16 (~0.4% relative) — measured on-chip as a 2e-3 final_T error and
-# a 5e-3 image error vs the XLA compositor (interpret-mode CPU tests
-# compute full f32 and cannot see this). HIGHEST = exact f32 via 6 MXU
-# passes; the kernels are VPU-bound and the matmuls overlap, so the extra
-# passes are free (measured: no fps change).
+# plain DEFAULT MXU precision, which truncates f32 operands to bfloat16
+# (~0.4% relative) — measured on-chip as a 2e-3 final_T error and a 5e-3
+# image error vs the XLA compositor (interpret-mode CPU tests compute
+# full f32 and cannot see this). Round 2 pinned everything to HIGHEST
+# (exact f32 via 6 MXU passes, bf16x6); rounds 3-5 progressively replaced
+# that with 2-3-pass bf16 SPLITS at DEFAULT (~2^-16 relative — see
+# _split_dot/_blend_dot/_split_dot2): the round-5 backward-split
+# measurement showed the kernels' MXU time is NOT free at scale (the
+# backward ran ~52 HIGHEST pass-equivalents per chunk). HIGHEST remains
+# only as the terms=0 A/B anchor.
 _PREC = jax.lax.Precision.HIGHEST
 
 # The (chunk, chunk) triangular prefix/suffix-sum matmuls are the kernels'
@@ -105,30 +109,53 @@ _PREC = jax.lax.Precision.HIGHEST
 _TRI_SPLIT = 2
 
 
-def _tri_dot(a, tri):
-    """``a @ tri`` where ``tri`` has only 0/1 entries (bf16-exact).
-
-    ``_TRI_SPLIT`` terms of a bf16 operand split at DEFAULT MXU precision;
-    0 = single HIGHEST dot (round-2 behavior, A/B anchor)."""
-    dn = (((1,), (0,)), ((), ()))
-    if _TRI_SPLIT == 0:
+def _split_dot(a, b, dn, terms=None):
+    """``dot_general(a, b, dn)`` with ``b`` EXACT in bf16 (0/1 triangular
+    masks, ones rows, identity blocks, f16-decoded colors split upstream):
+    ``terms`` bf16-split passes of ``a`` at DEFAULT MXU precision
+    reproduce the product with terms*8-bit-mantissa accuracy — 2 passes
+    ~= f32 (2^-16 relative) at 1/3 the MXU cost of HIGHEST's 6 passes.
+    The round-5 backward-kernel measurement (66 ms, evidence/perf/
+    r5_ab.jsonl bwdsplit) is what motivated generalizing the round-3
+    ``_TRI_SPLIT`` trick to EVERY carried-state matmul: the backward ran
+    ~52 HIGHEST pass-equivalents per chunk (six _pix_sum matvecs + two
+    color matmuls + two triangular sums). ``terms=0`` = single HIGHEST
+    dot (A/B anchor)."""
+    if terms is None:
+        terms = _TRI_SPLIT
+    if terms == 0:
         return jax.lax.dot_general(
-            a, tri, dn, preferred_element_type=jnp.float32, precision=_PREC
+            a, b, dn, preferred_element_type=jnp.float32, precision=_PREC
         )
     out = None
     r = a
-    for i in range(_TRI_SPLIT):
-        if i < _TRI_SPLIT - 1:
+    for i in range(terms):
+        if i < terms - 1:
             t = r.astype(jnp.bfloat16).astype(jnp.float32)
             r = r - t
         else:
             t = r  # DEFAULT truncates the final remainder itself
         d = jax.lax.dot_general(
-            t, tri, dn, preferred_element_type=jnp.float32,
+            t, b, dn, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
         out = d if out is None else out + d
     return out
+
+
+def _tri_dot(a, tri):
+    """``a @ tri`` where ``tri`` has only 0/1 entries (bf16-exact)."""
+    return _split_dot(a, tri, (((1,), (0,)), ((), ())))
+
+
+def _bf16_exact_split(x):
+    """f16-valued f32 array -> (hi, lo) bf16-exact f32 terms, x == hi+lo.
+
+    An f16 mantissa is 11 bits; bf16 keeps 8, so the remainder has <= 3
+    significant bits — itself bf16-exact. Lets DEFAULT-precision matmuls
+    consume f16-decoded colors with NO truncation error."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
 
 
 def _exact01_dot(a01, tri):
@@ -141,6 +168,39 @@ def _exact01_dot(a01, tri):
     )
 
 
+def _blend_dot(a, col3):
+    """``a @ col3`` where ``col3`` holds f16-valued colors: split col3
+    into its two bf16-EXACT halves (:func:`_bf16_exact_split`), run the
+    hi half with the 2-term split of ``a`` and the lo half (<= 2^-9 of
+    the value) at plain DEFAULT — 3 MXU passes for ~2^-17 accuracy vs
+    HIGHEST's 6. Used for the forward color blend and the backward
+    ``cdotv``."""
+    dn = (((1,), (0,)), ((), ()))
+    c_hi, c_lo = _bf16_exact_split(col3)
+    d = _split_dot(a, c_hi, dn)
+    return d + jax.lax.dot_general(
+        a, c_lo, dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _split_dot2(a, b, dn):
+    """General dot with BOTH operands inexact at ~2^-16 accuracy in 3
+    DEFAULT passes (vs HIGHEST's 6): hi/lo bf16 split of each operand,
+    dropping the lo@lo term (~2^-16 relative)."""
+    ah, al = _bf16_exact_split(a)  # al is a's bf16 remainder (inexact tail
+    # truncated by DEFAULT below — a 2^-17-order term)
+    bh, bl = _bf16_exact_split(b)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _transpose_px8(x8):
     """(PIX, 8) -> (8, PIX) as one tiny MXU matmul.
 
@@ -151,18 +211,21 @@ def _transpose_px8(x8):
     (measured 1.07GB physical for 67MB logical at 1080p, ~20ms/direction).
     An explicit relayout/transpose on the VPU is slow in Mosaic; the MXU
     does it for free as eye8 @ x8^T."""
-    return jax.lax.dot_general(
-        _eye8(), x8, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )
+    dn = (((1,), (1,)), ((), ()))  # eye8 col-dim with x8 minor dim
+    hi, lo = _bf16_exact_split(x8)
+
+    def d(y):
+        return jax.lax.dot_general(
+            _eye8(), y, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(hi) + d(lo)
 
 
 def _transpose_8px(x8t):
     """(8, PIX) -> (PIX, 8) via the MXU (see :func:`_transpose_px8`)."""
-    return jax.lax.dot_general(
-        x8t, _eye8(), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )
+    return _split_dot(x8t, _eye8(), (((0,), (0,)), ((), ())))
 
 
 def pack_f16_pair(hi, lo):
@@ -214,10 +277,17 @@ def _pix_sum(x):
     != the replicated layout of a reduction; 'failed to legalize
     scf.yield'). Carried scalars keep VPU reductions; bulk accumulators
     go through VMEM scratch refs instead of carries."""
-    return jax.lax.dot_general(
-        jnp.ones((1, x.shape[0]), jnp.float32), x,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_PREC,
-    )
+    ones = jnp.ones((1, x.shape[0]), jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    hi, lo = _bf16_exact_split(x)
+
+    def d(y):
+        return jax.lax.dot_general(
+            ones, y, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(hi) + d(lo)
 
 
 def _all_done_check(ci, done, exit_every):
@@ -381,11 +451,10 @@ def _composite_kernel(
         b_row, op = _f16_pair_rows(buf[slot, 6:7, :])
         # colors as one (chunk, 3) MXU transpose: the three per-channel
         # broadcasts + lane reductions become a single (PIX,chunk)@(chunk,3)
-        col3 = jax.lax.dot_general(
+        col3 = _split_dot(
             jnp.concatenate([r_row, g_row, b_row], axis=0), eye3,
             (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )  # (chunk, 3)
+        )  # (chunk, 3); f16 colors -> the 2-term bf16 split is EXACT
 
         gidx = win + ci * chunk + lane  # (1, chunk) global pair index
         dx = px - mean_x  # (PIX, chunk)
@@ -418,9 +487,7 @@ def _composite_kernel(
         cum_excl = _tri_dot(lg_eff, tri_excl)
         w = alpha_eff * jnp.exp(logT + cum_excl)  # (PIX, chunk)
 
-        acc[...] = acc[...] + jnp.dot(
-            w, col3, preferred_element_type=jnp.float32, precision=_PREC
-        )
+        acc[...] = acc[...] + _blend_dot(w, col3)
 
         contrib = alpha_eff > 0.0
         ncon = jnp.maximum(
@@ -543,11 +610,10 @@ def _composite_infer_kernel(
         cc = buf[slot, 4:5, :]
         r_row, g_row = _f16_pair_rows(buf[slot, 5:6, :])
         b_row, op = _f16_pair_rows(buf[slot, 6:7, :])
-        col3 = jax.lax.dot_general(
+        col3 = _split_dot(
             jnp.concatenate([r_row, g_row, b_row], axis=0), eye3,
             (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )  # (chunk, 3)
+        )  # (chunk, 3); f16 colors -> the 2-term bf16 split is EXACT
 
         gidx = win + ci * chunk + lane
         dx = px - mean_x
@@ -572,9 +638,7 @@ def _composite_infer_kernel(
         cum_excl = _tri_dot(lg_eff, tri_excl)
         w = alpha_eff * jnp.exp(logT + cum_excl)
 
-        acc[...] = acc[...] + jnp.dot(
-            w, col3, preferred_element_type=jnp.float32, precision=_PREC
-        )
+        acc[...] = acc[...] + _blend_dot(w, col3)
 
         logT = logT + jnp.sum(lg_eff, axis=1, keepdims=True)
         done = jnp.maximum(done, jnp.max(trip, axis=1, keepdims=True))
@@ -655,7 +719,11 @@ def composite_tiles_pallas(
     )(tile_start, pair_attrs)
     tile_colors = out[:, :3, :].transpose(0, 2, 1)  # (T, PIX, 3)
     tile_T = out[:, 3, :]
-    ncontrib = out[:, 4, :].astype(jnp.int32)
+    # round, don't truncate: the boundary transpose's 2-term bf16 split
+    # reproduces integers only to ~2^-17 relative, so a count like 2000
+    # can read back 1999.985 — truncation would walk the backward one
+    # pair short
+    ncontrib = jnp.round(out[:, 4, :]).astype(jnp.int32)
     return tile_colors, tile_T, ncontrib
 
 
@@ -698,7 +766,10 @@ def _composite_bwd_kernel(
         return jnp.sum(jnp.where(io_lane == i, io, 0.0), axis=1, keepdims=True)
 
     vr, vg, vb, u, T_N, ncon_f = col(0), col(1), col(2), col(3), col(4), col(5)
-    ncon = ncon_f.astype(jnp.int32)  # (PIX, 1) local index count
+    # +0.5: round-half-up before the int cast — the io8 boundary transpose
+    # reproduces integer counts only to ~2^-17 relative (see the ncontrib
+    # note in composite_tiles_pallas)
+    ncon = (ncon_f + 0.5).astype(jnp.int32)  # (PIX, 1) local index count
     V = jnp.concatenate([vr, vg, vb], axis=1)  # (PIX, 3) pixel cotangents
 
     # chunks beyond the last contributing pair need no grad walk; their
@@ -707,11 +778,18 @@ def _composite_bwd_kernel(
     # every in-range pair gets its key (grads there are zero but the
     # reduction's boundary bookkeeping counts all valid pairs).
     maxn = jnp.max(ncon)  # scalar
+    # this tile's output-block allocation; padded_start is clamped to
+    # p_pad on the host (see composite_pallas_grads), so staying under it
+    # guarantees the grads_hbm writes are in bounds even in the
+    # adversarial case where many tiles straddle chunk boundaries and the
+    # average-case p_pad bound would otherwise be exceeded
+    alloc = (padded_start_ref[t + 1] - pstart) // chunk
     n_bwd = jnp.where(
         maxn > 0, (start - win + maxn - 1) // chunk + 1, 0
     )
+    n_bwd = jnp.minimum(n_bwd, alloc)
     if emit_slot_keys:
-        n_bwd = (padded_start_ref[t + 1] - pstart) // chunk
+        n_bwd = alloc
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
@@ -778,10 +856,7 @@ def _composite_bwd_kernel(
 
         # cdotv[p,c] = sum_i col_i[c] * v_i[p]: one MXU matmul instead of
         # three broadcast-muls + adds
-        cdotv = jax.lax.dot_general(
-            V, col3, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )  # (PIX, chunk)
+        cdotv = _blend_dot(V, col3)  # (PIX, chunk)
         q = w * cdotv
         S_i = S + _tri_dot(q, rtri_excl)
         dalpha = T_i * cdotv - (S_i + T_N * u) / one_m
@@ -805,9 +880,8 @@ def _composite_bwd_kernel(
         g_cc = -0.5 * _pix_sum(dy * t2)
         g_mx = ca * S1 + cb * S2
         g_my = cc * S2 + cb * S1
-        g_rgb = jax.lax.dot_general(
-            V, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
+        g_rgb = _split_dot2(
+            V, w, (((0,), (0,)), ((), ()))
         )  # (3, chunk): rows g_r, g_g, g_b
         g_r = g_rgb[0:1, :]
         g_g = g_rgb[1:2, :]
@@ -921,10 +995,15 @@ def composite_pallas_grads(
     grad_dtype=jnp.float32,
     grad_reduce: str = "gather",
     gauss_inv_perm=None,
+    slot_layout: str = "grid",
     _kernel_only: bool = False,
 ):
     """Backward pass: per-pair gradient kernel + deterministic segmented
     reduction to per-gaussian cotangents.
+
+    ``slot_layout``: how ``pair_slot`` encodes the (gaussian row, j) pair
+    — "grid" (row * mt + j) or "rowmajor" (cumsum(gauss_count)[row] + j,
+    the compact expansion's overflow-free ids).
 
     ``_kernel_only`` (perf-probe seam, scripts/_r5_session.py): skip the
     reduction and return the raw padded per-pair grad blocks — the
@@ -951,6 +1030,16 @@ def composite_pallas_grads(
     padded_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(wsize).astype(jnp.int32)]
     )
+    # p_pad is an AVERAGE-case bound: a tile's padded window wastes up to
+    # 2*(chunk-1) rows (head offset + tail pad) but p_pad budgets only
+    # chunk per tile — an adversarial frame where many small tile ranges
+    # straddle chunk boundaries can exceed it. Clamping keeps the kernel's
+    # writes in bounds (each tile stops at its allocation); overflowed
+    # tiles' pairs then read as zero-grad/sentinel rows, and the reduction
+    # switches to the first-occurrence path below so segment boundaries
+    # stay aligned with the keys actually present.
+    pad_overflow = padded_start[num_t] > p_pad
+    padded_start = jnp.minimum(padded_start, p_pad)
 
     # sublane-major boundary layout (T, 8, PIX) — see _transpose_px8
     io8 = jnp.concatenate(
@@ -1112,7 +1201,11 @@ def composite_pallas_grads(
         )
         shift_fill = _cummax_blocked_1d(seg)
         i_arr = jnp.arange(max_pairs, dtype=jnp.int32)
-        padded_pos = jnp.where(i_arr < num_valid, i_arr + shift_fill, p_pad - 1)
+        padded_pos = jnp.where(
+            i_arr < num_valid,
+            jnp.minimum(i_arr + shift_fill, p_pad - 1),  # pad_overflow clip
+            p_pad - 1,
+        )
         slot_key = jnp.where(i_arr < num_valid, pair_slot, big)
         slot_sorted, perm = jax.lax.sort(
             (slot_key, padded_pos), num_keys=1, is_stable=True
@@ -1141,7 +1234,17 @@ def composite_pallas_grads(
         return jnp.concatenate([jnp.zeros(1, jnp.int32), cs])
 
     def slow_lo(_):
-        g_sorted = jnp.minimum(slot_sorted // mt, n_gauss)
+        if slot_layout == "rowmajor":
+            bounds = jnp.concatenate([
+                jnp.zeros(1, jnp.int32),
+                jnp.cumsum(gauss_count).astype(jnp.int32),
+            ])
+            g_sorted = jnp.clip(
+                jnp.searchsorted(bounds, slot_sorted, side="right") - 1,
+                0, n_gauss,
+            )
+        else:
+            g_sorted = jnp.minimum(slot_sorted // mt, n_gauss)
         lo = (
             jnp.full(n_gauss + 1, sorted_len, jnp.int32)
             .at[g_sorted]
@@ -1149,7 +1252,9 @@ def composite_pallas_grads(
         )
         return jnp.flip(jax.lax.cummin(jnp.flip(lo)))
 
-    lo = jax.lax.cond(num_valid == total, fast_lo, slow_lo, None)
+    lo = jax.lax.cond(
+        (num_valid == total) & ~pad_overflow, fast_lo, slow_lo, None
+    )
     # valid pairs are a prefix of the slot-sorted order; gaussian i's
     # segment is [lo[i], lo[i+1]) so one monotone (N+1)-row gather of the
     # cumulative sums yields every boundary (hi[i] == lo[i+1])
@@ -1201,6 +1306,7 @@ def composite_pallas(
     grad_dtype: str = "float32",
     grad_reduce: str = "gather",
     gauss_inv_perm=None,
+    slot_layout: str = "grid",
 ):
     """Differentiable Pallas compositing: custom VJP pairing the forward
     tile kernel with the back-to-front replay kernel (the JAX equivalent of
@@ -1214,15 +1320,17 @@ def composite_pallas(
     return _composite_vjp(
         means2d, conics, colors, opacities, pair_gauss, pair_slot,
         tile_start, gauss_count, gauss_inv_perm, mt, tiles_x, tiles_y,
-        chunk, grad_dtype, grad_reduce,
+        chunk, grad_dtype, grad_reduce, slot_layout,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14, 15)
+)
 def _composite_vjp(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
     tile_start, gauss_count, gauss_inv_perm, mt, tiles_x, tiles_y, chunk,
-    grad_dtype, grad_reduce,
+    grad_dtype, grad_reduce, slot_layout,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk,
@@ -1239,7 +1347,7 @@ def _composite_vjp(
 def _composite_vjp_fwd(
     means2d, conics, colors, opacities, pair_gauss, pair_slot,
     tile_start, gauss_count, gauss_inv_perm, mt, tiles_x, tiles_y, chunk,
-    grad_dtype, grad_reduce,
+    grad_dtype, grad_reduce, slot_layout,
 ):
     pair_attrs = pack_pair_attrs(
         pair_gauss, means2d, conics, colors, opacities, chunk,
@@ -1254,7 +1362,8 @@ def _composite_vjp_fwd(
 
 
 def _composite_vjp_bwd(
-    mt, tiles_x, tiles_y, chunk, grad_dtype, grad_reduce, res, cts
+    mt, tiles_x, tiles_y, chunk, grad_dtype, grad_reduce, slot_layout,
+    res, cts
 ):
     import numpy as np
 
@@ -1267,6 +1376,7 @@ def _composite_vjp_bwd(
         grad_dtype=jnp.dtype(grad_dtype).type,
         grad_reduce=grad_reduce,
         gauss_inv_perm=gauss_inv_perm,
+        slot_layout=slot_layout,
     )
 
     def int_ct(x):

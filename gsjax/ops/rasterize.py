@@ -23,7 +23,7 @@ import dataclasses
 import jax.numpy as jnp
 
 from gsjax.data.cameras import RenderCamera
-from gsjax.ops.binning import build_tile_bins
+from gsjax.ops.binning import build_tile_bins, slot_layout_of
 from gsjax.ops.composite import (
     ALPHA_MAX,
     ALPHA_MIN,
@@ -159,6 +159,9 @@ def render(
             grad_dtype=settings.grad_dtype,
             grad_reduce=settings.grad_reduce,
             gauss_inv_perm=bins.gauss_inv_perm,
+            slot_layout=slot_layout_of(
+                settings.expansion, settings.exact_depth_sort
+            ),
         )
     else:
         tile_colors, tile_T, num_tile_capped = composite_tiles(

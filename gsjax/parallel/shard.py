@@ -38,7 +38,7 @@ from jax import shard_map
 
 from gsjax.data.cameras import RenderCamera, index_render_camera
 from gsjax.models.gaussians import GaussianState, activated_params
-from gsjax.ops.binning import build_tile_bins
+from gsjax.ops.binning import build_tile_bins, slot_layout_of
 from gsjax.ops.composite import assemble_image, composite_tiles
 from gsjax.ops.projection import TILE, num_tiles, preprocess
 from gsjax.ops.rasterize import RasterizeSettings
@@ -262,6 +262,7 @@ def _render_strip(
             settings.pallas_chunk, grad_dtype=settings.grad_dtype,
             grad_reduce=settings.grad_reduce,
             gauss_inv_perm=bins.gauss_inv_perm,
+            slot_layout=slot_layout_of(settings.expansion),
         )
         tile_capped = jnp.int32(0)  # the pallas kernel never truncates
     else:

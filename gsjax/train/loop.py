@@ -340,7 +340,12 @@ def _probe_initial_budgets(settings, state, train_cams, width, height,
     cap = state.capacity
     ca = min(int(cap * tier_frac) // 8 * 8, cap)
     grid_slots = ca * max(2, mt_final // 4) + (cap - ca) * mt_final
-    if grid_slots > 4 * max_pairs and cap * mt_final < 2**31:
+    if grid_slots > 4 * max_pairs:
+        # row-major compact slot ids (binning.py round 5) removed the old
+        # capacity*mt < 2^31 eligibility bound — exactly the regime
+        # (trained model, one frame-spanning gaussian forcing mt ~2048 at
+        # >=1M capacity) where the viewer's probe used to be stuck with
+        # an impossible grid
         expansion = "compact"
     if (mt > settings.max_tiles_per_gauss or max_pairs > settings.max_pairs
             or tier_frac != settings.tier_frac
@@ -866,18 +871,11 @@ def training(
             return ca * max(2, mt // 4) + (state.capacity - ca) * mt
 
         def _mt_cap_compact():
-            # compact expansion sorts max_pairs entries whatever mt is;
-            # the only bound is the int32 row*mt+j virtual-slot encoding.
-            # Reserve headroom for one capacity doubling (densification
-            # growth) — capacity*c*4 < 2^31 keeps the post-growth
-            # 2*capacity*c under the encoding bound, so a growth right
-            # after an mt growth cannot hard-crash build_tile_bins
-            # (ADVICE r3 medium #1); the growth block below additionally
-            # re-clamps mt for any further doublings.
-            c = 16
-            while c < mt_frame_cap and state.capacity * c * 4 < 2**31:
-                c *= 2
-            return c
+            # compact expansion sorts max_pairs entries whatever mt is,
+            # and its row-major slot ids (< max_pairs, round 5) removed
+            # the old capacity*mt < 2^31 virtual-slot bound — mt may grow
+            # to the full-frame cap outright
+            return mt_frame_cap
 
         new_expansion = settings.expansion
         if settings.expansion == "compact":
@@ -1048,34 +1046,9 @@ def training(
                 if int(dstats.num_dropped) > 0 or n_act > GROW_WATERMARK * state.capacity:
                     t_grow = time.time()
                     old_c, new_c = state.capacity, state.capacity * 2
-                    # compact expansion bounds capacity*mt < 2^31 (int32
-                    # row*mt+j slot encoding, binning.py); a doubling can
-                    # cross it after a long run of mt growths — re-clamp
-                    # mt before rebuilding, else build_tile_bins raises
-                    # mid-training (ADVICE r3 medium #1). Changing
-                    # settings invalidates the warm key, so a clamped
-                    # growth compiles inline — correct, just slower.
-                    if (settings.expansion == "compact"
-                            and new_c * settings.max_tiles_per_gauss
-                            >= 2**31):
-                        mt_cl = settings.max_tiles_per_gauss
-                        while mt_cl > 16 and new_c * mt_cl >= 2**31:
-                            mt_cl //= 2
-                        print(
-                            f"[ITER {iteration}] capacity growth re-clamps "
-                            f"tile cap {settings.max_tiles_per_gauss} -> "
-                            f"{mt_cl} (int32 slot-encoding bound)",
-                            flush=True,
-                        )
-                        logs.write({
-                            "iter": iteration, "event": "mt_reclamp",
-                            "max_tiles_per_gauss": mt_cl,
-                            "capacity": new_c,
-                        })
-                        settings = dataclasses.replace(
-                            settings, max_tiles_per_gauss=mt_cl
-                        )
-                        cfg = dataclasses.replace(cfg, settings=settings)
+                    # (the r3-r4 capacity*mt < 2^31 re-clamp is gone: the
+                    # compact expansion's row-major slot ids are bounded
+                    # by max_pairs, not capacity*mt — binning.py round 5)
                     warmed = warmer.take(capacity_warm_key(new_c)) or {}
                     wstep = warmed.get("step")
                     print(
