@@ -1214,9 +1214,18 @@ def composite_pallas_grads(
         grads1 = grads_row9[perm].astype(jnp.float32)
 
     sorted_len = grads8.shape[0]  # max_pairs (gather) or p_pad (sort)
-    csum8 = _blocked_cumsum_rows(grads8)  # inclusive (L, 8)
-    csum8 = jnp.concatenate(
-        [jnp.zeros((1, 8), jnp.float32), csum8], axis=0
+    # boundary-gather source kept in the FAST gather zone: a single
+    # (L+1, 8) f32 cumsum table is ~147MB at the bench p_pad — the
+    # 120-190MB cliff zone (~59 Mrows/s measured, r5_ab.jsonl
+    # boundary_gather). Two (L+1, 4) tables are ~73MB each and gather at
+    # the 4xf32 rate (234 Mrows/s): two cheap gathers beat one slow one.
+    csum4a = jnp.concatenate(
+        [jnp.zeros((1, 4), jnp.float32),
+         _blocked_cumsum_rows(grads8[:, :4])], axis=0
+    )
+    csum4b = jnp.concatenate(
+        [jnp.zeros((1, 4), jnp.float32),
+         _blocked_cumsum_rows(grads8[:, 4:])], axis=0
     )
     csum1 = jnp.concatenate(
         [jnp.zeros((1,), jnp.float32), _blocked_cumsum_1d(grads1)]
@@ -1259,10 +1268,12 @@ def composite_pallas_grads(
     # segment is [lo[i], lo[i+1]) so one monotone (N+1)-row gather of the
     # cumulative sums yields every boundary (hi[i] == lo[i+1])
     loc = jnp.minimum(lo, num_valid)  # (N + 1,) nondecreasing
-    cl8 = csum8[loc]  # (N + 1, 8) monotone row gather, 8-exact sublanes
+    cl4a = csum4a[loc]  # (N + 1, 4) monotone row gathers, fast-zone
+    cl4b = csum4b[loc]  # sources (see the cumsum split note above)
     cl1 = csum1[loc]  # (N + 1,) 1-D gather
     per_gauss = jnp.concatenate(
-        [cl8[1:] - cl8[:-1], (cl1[1:] - cl1[:-1])[:, None]], axis=1
+        [cl4a[1:] - cl4a[:-1], cl4b[1:] - cl4b[:-1],
+         (cl1[1:] - cl1[:-1])[:, None]], axis=1
     )  # (N, 9), row (slot) order
     if gauss_inv_perm is not None:
         # tiered binning: rows are in tile-count-sorted order; one (N, 9)
