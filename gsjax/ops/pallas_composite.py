@@ -265,6 +265,30 @@ def _f16_pair_rows(row):
     return dec((bits >> 16) & 0xFFFF), dec(bits & 0xFFFF)
 
 
+def _pack_bf16_pair_rows(a, b):
+    """Two f32 rows -> one f32 row whose bits hold (bf16(a) << 16) |
+    bf16(b), via pure int32 ops (round-half-up on the mantissa cut; the
+    +0x8000 carry into the exponent is exactly mantissa-overflow
+    rounding). No 16-bit vectors anywhere: u16/bf16-typed arrays pay a
+    (16, 128)-tile relayout per conversion on TPU, which is where the
+    round-4 digit-packed reduction spent its host-graph glue time."""
+    ba = jax.lax.bitcast_convert_type(a, jnp.int32)
+    bb = jax.lax.bitcast_convert_type(b, jnp.int32)
+    hi = (ba + 0x8000) & jnp.int32(-65536)
+    lo = jax.lax.shift_right_logical(bb + 0x8000, 16) & 0xFFFF
+    return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
+
+
+def _unpack_bf16_pair_word(w_i32):
+    """Inverse of :func:`_pack_bf16_pair_rows` on an int32 array: returns
+    (hi, lo) f32 values (bf16 upcast == shift left 16)."""
+    hi = jax.lax.bitcast_convert_type(
+        w_i32 & jnp.int32(-65536), jnp.float32
+    )
+    lo = jax.lax.bitcast_convert_type(w_i32 << 16, jnp.float32)
+    return hi, lo
+
+
 def _pix_sum(x):
     """Sum over pixels (sublanes): (PIX, chunk) -> (1, chunk) on the MXU.
 
@@ -746,6 +770,7 @@ def _composite_bwd_kernel(
     chunk,
     tiles_x,
     emit_slot_keys=False,
+    packed=False,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -901,30 +926,33 @@ def _composite_bwd_kernel(
             slot_bits = jax.lax.bitcast_convert_type(
                 buf[slot, SLOT_ROW:SLOT_ROW + 1, :], jnp.int32
             )
-            if obuf.dtype == jnp.float32:
-                key_row = jax.lax.bitcast_convert_type(
-                    jnp.where(in_range, slot_bits, jnp.int32(2**31 - 1)),
-                    jnp.float32,
-                )
-                tail = [key_row] + [zero_row] * (GRAD_W - 10)
+            key_row = jax.lax.bitcast_convert_type(
+                jnp.where(in_range, slot_bits, jnp.int32(2**31 - 1)),
+                jnp.float32,
+            )
+            if packed:
+                # bf16-pair-packed mode (8 f32 rows): the 9 grads as 5
+                # u32-packed words + the raw slot key — int-only on both
+                # sides, so no 16-bit-typed array ever materializes
+                rows = [
+                    _pack_bf16_pair_rows(g_mx, g_my),
+                    _pack_bf16_pair_rows(g_ca, g_cb),
+                    _pack_bf16_pair_rows(g_cc, g_op),
+                    _pack_bf16_pair_rows(g_r, g_g),
+                    _pack_bf16_pair_rows(g_b, zero_row),
+                    key_row, zero_row, zero_row,
+                ]
             else:
-                # bf16 output can't carry 32 raw key bits in one row: split
-                # the slot id into four base-256 digits (integers <= 255 are
-                # exact in bf16) riding rows 9..12; sentinel -1 reads as
-                # all-255 digits = u32 max after reassembly
-                s = jnp.where(in_range, slot_bits, jnp.int32(-1))
-                tail = [
-                    ((s >> 24) & 255).astype(jnp.float32),
-                    ((s >> 16) & 255).astype(jnp.float32),
-                    ((s >> 8) & 255).astype(jnp.float32),
-                    (s & 255).astype(jnp.float32),
-                ] + [zero_row] * (GRAD_W - 13)
+                rows = (
+                    [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_g, g_b]
+                    + [key_row] + [zero_row] * (GRAD_W - 10)
+                )
         else:
-            tail = [zero_row] * (GRAD_W - 9)
-        obuf[slot] = jnp.concatenate(
-            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_g, g_b] + tail,
-            axis=0,
-        ).astype(obuf.dtype)
+            rows = (
+                [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_g, g_b]
+                + [zero_row] * (GRAD_W - 9)
+            )
+        obuf[slot] = jnp.concatenate(rows, axis=0).astype(obuf.dtype)
         out_dma(slot, ci).start()
 
         # lane reductions keep (PIX, 1) carries lane-replicated (VPU —
@@ -1053,6 +1081,14 @@ def composite_pallas_grads(
         axis=1,
     )  # (T, 8, PIX)
 
+    emit_keys = grad_reduce == "sort"
+    # bf16 grads + sort reduction ride the PACKED path: the 9 grads as 5
+    # u32-pair words + the raw slot key in 8 f32 rows — half the output
+    # DMA of GRAD_W=16 bf16 digit rows, and no 16-bit-typed array ever
+    # materializes in the host graph (see _pack_bf16_pair_rows)
+    packed_keys = emit_keys and jnp.dtype(grad_dtype) == jnp.bfloat16
+    grad_w_out = 8 if packed_keys else GRAD_W
+    obuf_dtype = jnp.float32 if packed_keys else grad_dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_t,),
@@ -1064,31 +1100,28 @@ def composite_pallas_grads(
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_W, chunk), jnp.float32),
-            pltpu.VMEM((2, GRAD_W, chunk), grad_dtype),
+            pltpu.VMEM((2, grad_w_out, chunk), obuf_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    emit_keys = grad_reduce == "sort"
-    bf16_keys = emit_keys and jnp.dtype(grad_dtype) == jnp.bfloat16
-    zeros_out = jnp.zeros((p_pad // chunk, GRAD_W, chunk), grad_dtype)
-    if emit_keys and not bf16_keys:
+    zeros_out = jnp.zeros((p_pad // chunk, grad_w_out, chunk), obuf_dtype)
+    if emit_keys:
         # unwritten chunks (beyond the last tile window) must read as the
         # +inf-slot sentinel in the key row
         sentinel = jax.lax.bitcast_convert_type(
             jnp.int32(2**31 - 1), jnp.float32
         )
-        zeros_out = zeros_out.at[:, 9, :].set(sentinel)
-    elif bf16_keys:
-        # sentinel = all-255 base-256 digits -> u32 max after reassembly
-        zeros_out = zeros_out.at[:, 9:13, :].set(jnp.bfloat16(255.0))
+        zeros_out = zeros_out.at[:, 5 if packed_keys else 9, :].set(sentinel)
     grads_padded = pl.pallas_call(
         functools.partial(
             _composite_bwd_kernel, chunk=chunk, tiles_x=tiles_x,
-            emit_slot_keys=emit_keys,
+            emit_slot_keys=emit_keys, packed=packed_keys,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((p_pad // chunk, GRAD_W, chunk), grad_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (p_pad // chunk, grad_w_out, chunk), obuf_dtype
+        ),
         input_output_aliases={4: 0},  # zeros input (after 2 prefetch + 2 inputs) -> output
         interpret=interpret,
     )(tile_start, padded_start, pair_attrs, io8, zeros_out)
@@ -1103,53 +1136,32 @@ def composite_pallas_grads(
     num_valid = tile_start[num_t]
     n_gauss = gauss_count.shape[0]
     big = jnp.int32(2**31 - 1)
-    if emit_keys and bf16_keys:
-        # packed-bf16 single-sort mode: the kernel emitted bf16 grads with
-        # the slot id as four exact base-256 bf16 digits (rows 9..12).
-        # Reassemble a u32 key, bit-pack the 9 bf16 grad columns pairwise
-        # into 5 u32 words, and ONE 6-operand sort carries everything
-        # (variadic sort cost degrades past ~6 operands; the f32 path
-        # needs two sorts).
-        digs = [
-            grads_padded[:, 9 + i, :].reshape(p_pad).astype(jnp.uint32)
-            for i in range(4)
-        ]
-        key_pad = (
-            (digs[0] << 24) | (digs[1] << 16) | (digs[2] << 8) | digs[3]
-        )
-        cols16 = [
+    if packed_keys:
+        # packed single-sort mode: the kernel emitted 5 u32 words (bf16
+        # grad pairs) + the raw i32 slot key — ONE 6-operand sort carries
+        # everything (variadic sort cost degrades past ~6 operands; the
+        # f32 path needs two sorts), and pack/unpack is pure 32-bit
+        # shift/mask on both sides.
+        words = [
             jax.lax.bitcast_convert_type(
-                grads_padded[:, c, :].reshape(p_pad), jnp.uint16
-            ).astype(jnp.uint32)
-            for c in range(grad_w)
+                grads_padded[:, r, :].reshape(p_pad), jnp.int32
+            )
+            for r in range(6)
         ]
-        packed = tuple(
-            (cols16[2 * i] << 16) | cols16[2 * i + 1] for i in range(4)
-        ) + (cols16[8],)
-        out = jax.lax.sort((key_pad,) + packed, num_keys=1, is_stable=False)
-        key_sorted = out[0]
-        cols = []
-        for i in range(4):
-            cols.append((out[1 + i] >> 16).astype(jnp.uint16))
-            cols.append((out[1 + i] & 0xFFFF).astype(jnp.uint16))
-        cols.append(out[5].astype(jnp.uint16))
-        cols_f = [
-            jax.lax.bitcast_convert_type(c, jnp.bfloat16).astype(jnp.float32)
-            for c in cols
-        ]
+        out = jax.lax.sort(
+            (words[5],) + tuple(words[:5]), num_keys=1, is_stable=False
+        )
+        slot_sorted = out[0]  # i32; the 2^31-1 sentinel sorts last
+        cols_f = []
+        for w in out[1:5]:
+            hi, lo = _unpack_bf16_pair_word(w)
+            cols_f.extend([hi, lo])
+        cols_f.append(_unpack_bf16_pair_word(out[5])[0])
         # 8-wide table + separate 1-D column: a (L, 9) f32 table is
-        # sublane-padded 9 -> 16 (1.78x HBM bytes) and the boundary gather
-        # below is in the slow >200MB gather zone at bench scale; (L, 8)
-        # pads nothing and the ninth column gathers from a 1-D array
+        # sublane-padded 9 -> 16 (1.78x HBM bytes); (L, 8) pads nothing
+        # and the ninth column gathers from a 1-D array
         grads8 = jnp.stack(cols_f[:8], axis=-1)
         grads1 = cols_f[8]
-        # sentinel keys (u32 max) sort last; reconstruct the i32 slot view
-        # the segment logic expects (valid slots < 2^31)
-        slot_sorted = jnp.where(
-            key_sorted == jnp.uint32(0xFFFFFFFF),
-            big,
-            key_sorted.astype(jnp.int32),
-        )
     elif emit_keys:
         # sort-payload mode: the kernel emitted each pair's slot id in row
         # 9 (+inf sentinel for holes), so the padded grid itself is sorted
