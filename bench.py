@@ -389,7 +389,7 @@ def main():
     # honest denominators; see docs/PERF.md "Honest roofline (round 4)".
     ref_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "evidence", "perf", "roofline_r4.json",
+        "evidence", "perf", "roofline_r5.json",
     )
     if os.path.exists(ref_path):
         try:
