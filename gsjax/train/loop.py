@@ -1043,6 +1043,14 @@ def training(
                     state, opt_state, k, use_screen_size=use_screen
                 )
                 n_act = int(state.num_active)
+                logs.write({
+                    "iter": iteration, "event": "densify",
+                    "cloned": int(dstats.num_cloned),
+                    "split": int(dstats.num_split),
+                    "pruned": int(dstats.num_pruned),
+                    "add_dropped": int(dstats.num_dropped),
+                    "num_active": n_act,
+                })
                 if int(dstats.num_dropped) > 0 or n_act > GROW_WATERMARK * state.capacity:
                     t_grow = time.time()
                     old_c, new_c = state.capacity, state.capacity * 2
@@ -1109,10 +1117,17 @@ def training(
                 iteration,
             )
 
-        if wall_budget > 0 and time.time() - t_start > wall_budget:
+        stop_file = os.path.join(model.model_path, "STOP")
+        stop_req = os.path.exists(stop_file)
+        if stop_req:
+            os.remove(stop_file)
+        if (wall_budget > 0 and time.time() - t_start > wall_budget) \
+                or stop_req:
             print(
-                f"[ITER {iteration}] wall budget ({wall_budget:.0f}s) "
-                "reached — saving checkpoint + snapshot and stopping",
+                f"[ITER {iteration}] "
+                + ("STOP file" if stop_req else
+                   f"wall budget ({wall_budget:.0f}s)")
+                + " — saving checkpoint + snapshot and stopping",
                 flush=True,
             )
             save_checkpoint(
