@@ -351,7 +351,8 @@ def main(argv=None):
     ap.add_argument("--structure_amp", type=float, default=0.0,
                     help="sharp-edged multi-scale patch-texture amplitude "
                          "(the densification growth driver)")
-    ap.add_argument("--preset", choices=["garden1m", "garden_growth"],
+    ap.add_argument("--preset",
+                    choices=["garden1m", "garden_growth", "garden_growth2"],
                     default=None,
                     help="garden1m: ~2.2M-splat GT with HF texture at the "
                          "MipNeRF360 images_4 operating point (1296x840) — "
@@ -375,6 +376,25 @@ def main(argv=None):
         args.n_views = 140
         args.width, args.height = 1296, 840
         args.n_sparse = 250_000
+        args.hf_amp = 0.35
+        args.coverage = 1.6
+    elif args.preset == "garden_growth2":
+        # v2 of the growth scene, after the v1 run's post-reset churn
+        # diagnosis (docs/PERF.md round 5 / train_log): v1's low orbit
+        # ring swept 2x closer to the ground disk than the mean view, so
+        # photometrically-converged mid-size splats (flat patches reward
+        # big splats) still exceeded the reference's 20px screen-size
+        # prune close-up and died every round — churn, not growth. v2
+        # (a) raises the rings (depth spread ~1.3x instead of 2x, like a
+        # real capture rig at roughly constant subject distance) and
+        # (b) doubles the fine-grain noise amplitude so flat-fitting a
+        # big splat is always visibly lossy (real-photo grain) — the
+        # scale/position gradients that drive clone/split keep firing.
+        args.n_gauss = 2_200_000
+        args.n_views = 120
+        args.width, args.height = 1296, 840
+        args.n_sparse = 40_000
+        args.structure_amp = 0.5
         args.hf_amp = 0.35
         args.coverage = 1.6
     elif args.preset == "garden_growth":
@@ -418,7 +438,7 @@ def main(argv=None):
     print(f"building GT model ({args.n_gauss} target gaussians)...",
           flush=True)
     hf_oct = None
-    if args.preset == "garden_growth":
+    if args.preset in ("garden_growth", "garden_growth2"):
         # finest octave 90 ~ 1.7px at the orbit distance: resolvable, so
         # the residual is fittable by pixel-scale splats (not a noise floor)
         hf_oct = ((18.0, 0.5), (40.0, 0.3), (90.0, 0.2))
@@ -442,7 +462,14 @@ def main(argv=None):
     for i in range(args.n_views):
         ring = i % 2
         az = 2 * np.pi * i / args.n_views + rng.normal(0, 0.02)
-        elev = (0.28 if ring == 0 else 0.55) + rng.normal(0, 0.03)
+        if args.preset == "garden_growth2":
+            # dome-like rig: both rings high enough that the closest
+            # content distance stays within ~1.3x of the mean — the 20px
+            # screen-size prune then sees roughly consistent radii
+            # across views (see the preset comment)
+            elev = (0.5 if ring == 0 else 0.75) + rng.normal(0, 0.03)
+        else:
+            elev = (0.28 if ring == 0 else 0.55) + rng.normal(0, 0.03)
         radius = 7.0 + rng.normal(0, 0.15)
         c2w = ring_c2w_opengl(radius, az, elev)
         cams.append(
