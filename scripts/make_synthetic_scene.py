@@ -390,13 +390,19 @@ def main(argv=None):
         # (b) doubles the fine-grain noise amplitude so flat-fitting a
         # big splat is always visibly lossy (real-photo grain) — the
         # scale/position gradients that drive clone/split keep firing.
-        args.n_gauss = 2_200_000
+        # ALSO: the v1 GT's own splat footprint (sigma ~0.009wu = 1.3px,
+        # FWHM ~3px) low-passed its finest noise octaves away — the
+        # rendered GT was much smoother than the texture spec, which is
+        # why 12.9k splats hit PSNR 33. v2 uses 3M GT splats at tighter
+        # coverage and grain octaves >= 2x the GT blur so the grain
+        # SURVIVES into the rendered images.
+        args.n_gauss = 3_000_000
         args.n_views = 120
         args.width, args.height = 1296, 840
         args.n_sparse = 40_000
         args.structure_amp = 0.5
         args.hf_amp = 0.35
-        args.coverage = 1.6
+        args.coverage = 1.3
     elif args.preset == "garden_growth":
         # Growth trajectory scene: the GT has sharp-edged structure at all
         # scales (clone/split keeps firing — _structured_detail docstring)
@@ -438,10 +444,15 @@ def main(argv=None):
     print(f"building GT model ({args.n_gauss} target gaussians)...",
           flush=True)
     hf_oct = None
-    if args.preset in ("garden_growth", "garden_growth2"):
+    if args.preset == "garden_growth":
         # finest octave 90 ~ 1.7px at the orbit distance: resolvable, so
         # the residual is fittable by pixel-scale splats (not a noise floor)
         hf_oct = ((18.0, 0.5), (40.0, 0.3), (90.0, 0.2))
+    elif args.preset == "garden_growth2":
+        # octaves sized ABOVE the 3M-splat GT blur (~2px FWHM): 12 ->
+        # 12.5px, 26 -> 5.8px, 55 -> 2.7px at the orbit distance, so the
+        # rendered images keep the grain the trainer must densify to fit
+        hf_oct = ((12.0, 0.45), (26.0, 0.35), (55.0, 0.2))
     pts, scales, quats, opac, shs, col = build_gt_model(
         args.n_gauss, args.seed, hf_amp=args.hf_amp, coverage=args.coverage,
         structure_amp=args.structure_amp, hf_octaves=hf_oct,
