@@ -102,7 +102,11 @@ def test_viewer_bridge_serves_fake_sibr_client():
 
     assert received["path"] == "/data/test_scene"
     direct = render_fn(None, cam.to_render_camera(), np.zeros(3, np.float32))
-    expect = (np.clip(np.asarray(direct), 0, 1) * 255).astype(np.uint8)
+    # round-half-up, matching the unified on-device/host quantization
+    # (gsjax/train/step.py as_uint8 / network_gui fallback — ADVICE r4)
+    expect = np.clip(
+        np.asarray(direct) * 255.0 + 0.5, 0, 255
+    ).astype(np.uint8)
     np.testing.assert_array_equal(received["img"], expect)
 
 
@@ -144,7 +148,10 @@ def test_viewer_scaling_modifier_applies_to_live_render():
     bridge.close()
 
     def as_bytes(img):
-        return (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        # round-half-up (same convention as the bridge's fallback)
+        return np.clip(
+            np.asarray(img) * 255.0 + 0.5, 0, 255
+        ).astype(np.uint8)
 
     scaled = as_bytes(render_fn(None, cam.to_render_camera(),
                                 np.zeros(3, np.float32), 0.3))
