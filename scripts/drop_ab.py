@@ -69,15 +69,25 @@ def main():
                          "same shifted LR-schedule end, so the budget "
                          "delta is still isolated)")
     ap.add_argument("--mult", type=float, default=2.0)
+    ap.add_argument("--mult_baseline", type=float, default=None,
+                    help="pair-budget multiplier for the BASELINE arm "
+                         "(e.g. 0.55 FORCES steady-state drops when the "
+                         "normally-probed budget never saturates — the "
+                         "regime the drop-cost question is about)")
     args = ap.parse_args()
 
     ckpt = os.path.join(args.model, f"chkpnt{args.from_iter}.npz")
     assert os.path.exists(ckpt), f"missing {ckpt}"
 
     results = {"from_iter": args.from_iter, "to_iter": args.to_iter,
-               "mult": args.mult, "arms": {}}
+               "mult": args.mult, "mult_baseline": args.mult_baseline,
+               "arms": {}}
+    base_env = (
+        {"GSJAX_PAIR_BUDGET_MULT": str(args.mult_baseline)}
+        if args.mult_baseline else {}
+    )
     for arm, env in (
-        ("baseline", {}),
+        ("baseline", base_env),
         ("big_budget", {"GSJAX_PAIR_BUDGET_MULT": str(args.mult)}),
     ):
         out = args.model + f"_dropab_{arm}"

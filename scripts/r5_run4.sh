@@ -28,6 +28,10 @@ OUT=output/eval_r5/growth_1m
 EV=evidence/quality/growth_1m
 mkdir -p "$EV"
 
+say "0. on-chip xcheck (packed-grads path numerics)"
+python scripts/_r5_xcheck.py > /tmp/r5_xcheck4.log 2>&1 \
+  && say "xcheck PASS" || say "xcheck FAIL (see /tmp/r5_xcheck4.log)"
+
 say "1. final kernel remeasure (packed reduction + gather split)"
 [ "$(left)" -gt 9000 ] && python scripts/_r5_session.py --stages fwdbwd,bwdsplit
 
