@@ -44,6 +44,12 @@ class DensifyStats(NamedTuple):
     num_split: jax.Array
     num_pruned: jax.Array
     num_dropped: jax.Array  # new points lost to capacity
+    # prune-cause breakdown (a splat may satisfy several; each counted in
+    # every cause it satisfies — used to diagnose churn equilibria, see
+    # docs/PERF.md "Densification dynamics")
+    num_pruned_opacity: jax.Array
+    num_pruned_screen: jax.Array
+    num_pruned_world: jax.Array
 
 
 def add_densification_stats(state: GaussianState, grad_means2d_pix, radii, width, height):
@@ -133,9 +139,19 @@ def densify_and_prune(
         return m
 
     keep = active & ~split_mask & ~prune_fn(opac, max_scale, state.max_radii2d)
-    num_pruned = jnp.sum(
-        (active & ~split_mask & ~keep).astype(jnp.int32)
-    )
+    pr_base = active & ~split_mask
+    num_pruned = jnp.sum((pr_base & ~keep).astype(jnp.int32))
+    num_pr_op = jnp.sum((pr_base & (opac < cfg.min_opacity)).astype(jnp.int32))
+    if use_screen_size:
+        num_pr_scr = jnp.sum(
+            (pr_base & (state.max_radii2d > cfg.max_screen_size)).astype(jnp.int32)
+        )
+        num_pr_wld = jnp.sum(
+            (pr_base & (max_scale > cfg.world_size_factor * extent)).astype(jnp.int32)
+        )
+    else:
+        num_pr_scr = jnp.int32(0)
+        num_pr_wld = jnp.int32(0)
 
     zero_r = jnp.zeros_like(state.max_radii2d)
     clone_keep = clone_mask & ~prune_fn(opac, max_scale, zero_r)
@@ -194,6 +210,9 @@ def densify_and_prune(
         num_split=total_split,
         num_pruned=num_pruned,
         num_dropped=jnp.maximum(0, total_new - n_free),
+        num_pruned_opacity=num_pr_op,
+        num_pruned_screen=num_pr_scr,
+        num_pruned_world=num_pr_wld,
     )
     new_state = dataclasses.replace(
         state,

@@ -1048,6 +1048,9 @@ def training(
                     "cloned": int(dstats.num_cloned),
                     "split": int(dstats.num_split),
                     "pruned": int(dstats.num_pruned),
+                    "pruned_opacity": int(dstats.num_pruned_opacity),
+                    "pruned_screen": int(dstats.num_pruned_screen),
+                    "pruned_world": int(dstats.num_pruned_world),
                     "add_dropped": int(dstats.num_dropped),
                     "num_active": n_act,
                 })
