@@ -1058,14 +1058,16 @@ def composite_pallas_grads(
     padded_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(wsize).astype(jnp.int32)]
     )
-    # p_pad is an AVERAGE-case bound: a tile's padded window wastes up to
-    # 2*(chunk-1) rows (head offset + tail pad) but p_pad budgets only
-    # chunk per tile — an adversarial frame where many small tile ranges
-    # straddle chunk boundaries can exceed it. Clamping keeps the kernel's
-    # writes in bounds (each tile stops at its allocation); overflowed
-    # tiles' pairs then read as zero-grad/sentinel rows, and the reduction
-    # switches to the first-occurrence path below so segment boundaries
-    # stay aligned with the keys actually present.
+    # p_pad bound soundness: tile ranges are a contiguous partition
+    # (start_{t+1} == end_t from searchsorted), so window wastes
+    # TELESCOPE — a tile's tail pad and the next tile's head offset sum
+    # to exactly `chunk` at each unaligned boundary (pad_t > 0 implies
+    # a_{t+1} = chunk - pad_t), giving sum(wsize) <= max_pairs +
+    # chunk*T + chunk == p_pad. The clamp below is defense-in-depth for
+    # any future caller that violates contiguity: the kernel stops at
+    # each tile's allocation (no out-of-bounds DMA), clipped tiles read
+    # as zero-grad/sentinel rows, and the reduction switches to the
+    # first-occurrence path so segment boundaries stay aligned.
     pad_overflow = padded_start[num_t] > p_pad
     padded_start = jnp.minimum(padded_start, p_pad)
 
