@@ -289,6 +289,129 @@ def main():
              "ms": round(t * 1e3, 2),
              "mrows_s": round(n1 / t / 1e6, 1)})
 
+    if "vpux" in stages:
+        # Attribution probes for the forward kernel's measured-vs-SoL gap
+        # (38 vs 24 ms): (a) the true cost of a transcendental pass vs a
+        # mul-add pass on the production grid/DMA skeleton, (b) fori vs
+        # while loop skeleton. Same harness as the r4 `vpu` stage.
+        import functools
+
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from gsjax.ops.binning import build_tile_bins
+        from gsjax.ops.pallas_composite import ATTR_W, PIX
+        from gsjax.ops.projection import num_tiles, preprocess
+
+        tiles_x, tiles_y = num_tiles(1920, 1080)
+
+        @jax.jit
+        def make_inputs(eps):
+            sp = preprocess(
+                state.params["xyz"] + eps,
+                jnp.exp(state.params["scaling"]),
+                state.params["rotation"],
+                jax.nn.sigmoid(state.params["opacity"][:, 0]),
+                jnp.zeros((state.capacity, 16, 3), jnp.float32),
+                rcam, 0, active_mask=state.active,
+            )
+            b = build_tile_bins(sp, tiles_x, tiles_y, MP,
+                                max_tiles_per_gauss=16, expansion="compact")
+            p = b.pair_gauss.shape[0]
+            pad = (-p) % 128 + 128
+            tbl = jnp.zeros(((p + pad) // 128, ATTR_W, 128), jnp.float32)
+            return b.tile_start, tbl
+
+        tile_start, tbl = jax.block_until_ready(make_inputs(jnp.float32(0)))
+
+        def sol_kernel(tile_start_ref, tbl_hbm, out_ref, buf, sems, *,
+                       k_ops, k_exp, use_while):
+            t = pl.program_id(0)
+            start = tile_start_ref[t]
+            end = tile_start_ref[t + 1]
+            win = (start // 128) * 128
+            nch = pl.cdiv(end - win, 128)
+
+            def dma(slot, ci):
+                return pltpu.make_async_copy(
+                    tbl_hbm.at[win // 128 + ci], buf.at[slot], sems.at[slot]
+                )
+
+            @pl.when(nch > 0)
+            def _():
+                dma(0, 0).start()
+
+            def body_math(ci, x):
+                @pl.when(ci + 1 < nch)
+                def _():
+                    dma((ci + 1) % 2, ci + 1).start()
+
+                dma(ci % 2, ci).wait()
+                row = buf[ci % 2, 0:1, :]
+                x = x + row
+                for j in range(k_ops):
+                    x = x * 1.0000001 + (0.3 + j * 1e-7)
+                for j in range(k_exp):
+                    x = jnp.exp(-1e-6 * x - (0.1 + j * 1e-7))
+                return x
+
+            init = jnp.zeros((PIX, 128), jnp.float32)
+            if use_while:
+                def cond(s):
+                    ci, _ = s
+                    return ci < nch
+
+                def wbody(s):
+                    ci, x = s
+                    return ci + 1, body_math(ci, x)
+
+                _, acc = jax.lax.while_loop(cond, wbody, (jnp.int32(0), init))
+            else:
+                acc = jax.lax.fori_loop(0, nch, body_math, init)
+            out_ref[0] = jnp.sum(acc, axis=1, keepdims=True).T
+
+        for tag, k_ops, k_exp, use_while in (
+            ("f20e0", 20, 0, False),
+            ("f20e5", 20, 5, False),
+            ("f20e10", 20, 10, False),
+            ("w20e0", 20, 0, True),
+        ):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(tiles_x * tiles_y,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+                out_specs=pl.BlockSpec(
+                    (1, 1, PIX), lambda t, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((2, ATTR_W, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
+
+            def run(eps, ts, tb, _k=(k_ops, k_exp, use_while), _gs=grid_spec):
+                ts = jnp.concatenate([
+                    ts[:1] + (eps * 1e-9).astype(jnp.int32), ts[1:]
+                ])
+                out = pl.pallas_call(
+                    functools.partial(sol_kernel, k_ops=_k[0], k_exp=_k[1],
+                                      use_while=_k[2]),
+                    grid_spec=_gs,
+                    out_shape=jax.ShapeDtypeStruct(
+                        (tiles_x * tiles_y, 1, PIX), jnp.float32),
+                    interpret=False,
+                )(ts, tb)
+                return jnp.sum(out[::64])
+
+            runj = jax.jit(run)
+            try:
+                t = timed(lambda eps: runj(eps, tile_start, tbl), rtt=rtt)
+            except Exception as e:  # noqa: BLE001 — log and keep measuring
+                log({"stage": "vpux", "cfg": tag, "error": str(e)[:200]})
+                continue
+            log({"stage": "vpux", "cfg": tag, "ms": round(t * 1e3, 2)})
+
     log({"stage": "done"})
 
 
